@@ -1,0 +1,420 @@
+"""Combinators: ``Unfold`` (state-space scan) and ``MapCombinator`` (plate).
+
+Gen.jl's ``Unfold`` combinator powers the reference's state-space models
+(fixture at /root/reference/test/runtests.jl:10, README driver at
+/root/reference/README.md:66-77): each ``pf_update!`` extends the unfolded
+trace by one timestep with incremental re-scoring.
+
+TPU-native design: an ``Unfold(step, max_steps)`` trace holds the step
+sub-traces **stacked along a static time axis** ``[T_max, ...]`` plus a traced
+active length ``t``; extension is *masking*, not reallocation. All interpreters
+are a single ``lax.scan`` over the time axis, so the whole SMC step — including
+trace extension — stays inside one XLA computation with fixed shapes. The
+active mask keeps inactive steps out of scores, weights, and presence masks
+(NaN/Inf-safe via ``jnp.where``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import lax
+
+from .choicemap import ChoiceMap, Entry, Selection, EMPTY
+from .gfi import GenFn, Trace, UnknownChange
+
+__all__ = ["Unfold", "MapCombinator"]
+
+
+def _tree_where(cond, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+def _and_lead(mask, active, value_ndim):
+    """AND an entry mask (broadcastable over leading axes) with a leading-axis
+    mask ``active`` of shape [T]."""
+    if mask is False:
+        return False
+    a = jnp.asarray(active, bool)
+    if mask is True:
+        return a
+    m = jnp.asarray(mask, bool)
+    if m.ndim < a.ndim:
+        m = jnp.broadcast_to(m, a.shape + m.shape[a.ndim:])
+    extra = m.ndim - a.ndim
+    a = a.reshape(a.shape + (1,) * extra)
+    return jnp.logical_and(m, a)
+
+
+class Unfold(GenFn):
+    """Markov-chain combinator over a step generative function.
+
+    ``step`` has signature ``step(t, state, *params) -> new_state`` (addresses
+    inside are per-step). ``Unfold(step, max_steps)`` is called with args
+    ``(t_active, init_state, *params)`` where ``t_active`` may be a traced
+    int32; the trace always has static shape ``[max_steps, ...]`` with steps
+    ``t >= t_active`` masked inactive.
+
+    The retval is the stacked sequence of carried states ``[max_steps, ...]``
+    (entries at inactive steps repeat the last active state).
+    """
+
+    def __init__(self, step: GenFn, max_steps: int):
+        self.step = step
+        self.T = int(max_steps)
+
+    def __repr__(self):
+        return f"Unfold({self.step!r}, T={self.T})"
+
+    # -- helpers ----------------------------------------------------------
+    def _split_args(self, args):
+        t_active = jnp.asarray(args[0], jnp.int32)
+        state0 = args[1]
+        params = tuple(args[2:])
+        return t_active, state0, params
+
+    def _active(self, t_active, outer_mask):
+        a = jnp.arange(self.T, dtype=jnp.int32) < t_active
+        if outer_mask is not True:
+            a = jnp.logical_and(a, outer_mask)
+        return a
+
+    def _densify(self, cm: ChoiceMap) -> ChoiceMap:
+        """Convert int-keyed (per-timestep) constraints into dense
+        ``[T, ...]`` entries with ``[T]`` masks; pass dense entries through."""
+        dense: Dict[Tuple, Entry] = dict(cm.str_keyed().entries)
+        by_t = cm.int_keyed()
+        if by_t:
+            addr_proto = {}
+            for t, sub in by_t.items():
+                if not (0 <= t < self.T):
+                    raise IndexError(
+                        f"constraint timestep {t} out of range [0,{self.T})")
+                for k, e in sub.entries.items():
+                    addr_proto.setdefault(k, e)
+            for k, proto in addr_proto.items():
+                v0 = jnp.asarray(proto.value)
+                vals = jnp.zeros((self.T,) + v0.shape, dtype=v0.dtype)
+                mask = jnp.zeros((self.T,), dtype=bool)
+                for t, sub in by_t.items():
+                    e = sub.entries.get(k)
+                    if e is None:
+                        continue
+                    vals = vals.at[t].set(jnp.asarray(e.value, dtype=v0.dtype))
+                    m = True if e.mask is True else jnp.asarray(e.mask, bool)
+                    mask = mask.at[t].set(m)
+                if k in dense:
+                    dense[k] = Entry(vals, mask) if dense[k] is None else (
+                        ChoiceMap({k: dense[k]}).merge(
+                            ChoiceMap({k: Entry(vals, mask)})).entries[k])
+                else:
+                    dense[k] = Entry(vals, mask)
+        return ChoiceMap(dense)
+
+    def _densify_selection(self, sel: Selection) -> Selection:
+        if sel.all_:
+            return sel
+        entries = dict(sel.str_keyed().entries)
+        by_t = sel.int_keyed()
+        if by_t:
+            addr_masks: Dict[Tuple, jnp.ndarray] = {}
+            for t, sub in by_t.items():
+                for k, m in sub.entries.items():
+                    cur = addr_masks.get(k)
+                    if cur is None:
+                        cur = jnp.zeros((self.T,), dtype=bool)
+                    mv = True if m is True else jnp.asarray(m, bool)
+                    addr_masks[k] = cur.at[t].set(mv)
+            for k, m in addr_masks.items():
+                if k in entries:
+                    prev = entries[k]
+                    if prev is True:
+                        continue
+                    entries[k] = jnp.logical_or(jnp.asarray(prev, bool), m)
+                else:
+                    entries[k] = m
+        return Selection(entries)
+
+    def _slice_cm(self, dense: ChoiceMap):
+        """Pytree of per-step entries for lax.scan xs (leading T axis).
+
+        Entries with static True masks or values lacking a leading T axis are
+        broadcast to [T, ...] first.
+        """
+        out = {}
+        for k, e in dense.entries.items():
+            v = jnp.asarray(e.value)
+            if v.ndim == 0 or v.shape[0] != self.T:
+                v = jnp.broadcast_to(v, (self.T,) + v.shape)
+            if e.mask is True:
+                m = jnp.ones((self.T,), dtype=bool)
+            else:
+                m = jnp.asarray(e.mask, bool)
+                if m.ndim == 0 or m.shape[0] != self.T:
+                    m = jnp.broadcast_to(m, (self.T,) + m.shape)
+            out[k] = Entry(v, m)
+        return ChoiceMap(out)
+
+    def _slice_sel(self, dsel: Selection):
+        """Selection pytree scannable over T (static entries broadcast)."""
+        if dsel.all_:
+            return dsel, True  # static, not scanned
+        entries = {}
+        static = True
+        for k, m in dsel.entries.items():
+            if m is True or m is False:
+                entries[k] = m
+            else:
+                mm = jnp.asarray(m, bool)
+                if mm.ndim == 0 or mm.shape[0] != self.T:
+                    mm = jnp.broadcast_to(mm, (self.T,) + mm.shape)
+                entries[k] = mm
+                static = False
+        return Selection(entries), static
+
+    # -- GFI --------------------------------------------------------------
+    def simulate(self, key, args):
+        t_active, state0, params = self._split_args(args)
+        ts = jnp.arange(self.T, dtype=jnp.int32)
+
+        def body(state, t):
+            k = jr.fold_in(key, t)
+            tr = self.step.simulate(k, (t, state) + params)
+            a = t < t_active
+            new_state = _tree_where(a, tr.retval, state)
+            return new_state, (tr, new_state)
+
+        _, (steps, states) = lax.scan(body, state0, ts)
+        active = self._active(t_active, True)
+        score = jnp.sum(jnp.where(active, steps.score, 0.0))
+        inner = {"steps": steps, "t": t_active, "outer_mask": True}
+        return Trace(self, args, states, score, inner)
+
+    def generate(self, key, args, constraints: ChoiceMap = EMPTY):
+        t_active, state0, params = self._split_args(args)
+        dense = self._slice_cm(self._densify(constraints))
+        ts = jnp.arange(self.T, dtype=jnp.int32)
+
+        def body(state, xs):
+            t, step_c = xs
+            k = jr.fold_in(key, t)
+            tr, w = self.step.generate(k, (t, state) + params, step_c)
+            a = t < t_active
+            new_state = _tree_where(a, tr.retval, state)
+            return new_state, (tr, new_state, w)
+
+        _, (steps, states, ws) = lax.scan(body, state0, (ts, dense))
+        active = self._active(t_active, True)
+        score = jnp.sum(jnp.where(active, steps.score, 0.0))
+        weight = jnp.sum(jnp.where(active, ws, 0.0))
+        inner = {"steps": steps, "t": t_active, "outer_mask": True}
+        return Trace(self, args, states, score, inner), weight
+
+    def assess(self, args, choices: ChoiceMap):
+        t_active, state0, params = self._split_args(args)
+        dense = self._slice_cm(self._densify(choices))
+        ts = jnp.arange(self.T, dtype=jnp.int32)
+
+        def body(state, xs):
+            t, step_c = xs
+            # assess per-step: all sites constrained by the dense arrays
+            retval, s = self.step.assess((t, state) + params,
+                                         step_c.map_values(lambda v: v))
+            a = t < t_active
+            new_state = _tree_where(a, retval, state)
+            return new_state, (new_state, s)
+
+        _, (states, ss) = lax.scan(body, state0, (ts, dense))
+        active = self._active(t_active, True)
+        score = jnp.sum(jnp.where(active, ss, 0.0))
+        return states, score
+
+    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap):
+        t_new, state0, params = self._split_args(new_args)
+        t_old = tr.inner["t"]
+        outer_mask = tr.inner["outer_mask"]
+        old_steps = tr.inner["steps"]
+        dense = self._slice_cm(self._densify(constraints))
+        ts = jnp.arange(self.T, dtype=jnp.int32)
+
+        def body(state, xs):
+            t, old_step, step_c = xs
+            a_old = t < t_old
+            if outer_mask is not True:
+                a_old = jnp.logical_and(a_old, outer_mask)
+            masked_old = self.step.mask_trace(old_step, a_old)
+            k = jr.fold_in(key, t)
+            new_step, logq_t, disc_t = self.step._update(
+                k, masked_old, (t, state) + params, step_c)
+            a_new = t < t_new
+            state = _tree_where(a_new, new_step.retval, state)
+            return state, (new_step, state, logq_t, disc_t)
+
+        _, (steps, states, logqs, disc) = lax.scan(
+            body, state0, (ts, old_steps, dense))
+        a_new = self._active(t_new, True)
+        a_old = self._active(t_old, outer_mask)
+        score = jnp.sum(jnp.where(a_new, steps.score, 0.0))
+        logq = jnp.sum(jnp.where(a_new, logqs, 0.0))
+        # discard entries: per-step stacked (masks already include the
+        # constraint∧old masks); mask them with new-activity, and add choices
+        # of steps deactivated by shrinking t (spec: Gen update discard
+        # semantics as exercised at /root/reference/src/update.jl:16-20).
+        disc_entries = {}
+        for k2, e in disc.entries.items():
+            disc_entries[k2] = Entry(
+                e.value, _and_lead(e.mask, a_new, jnp.ndim(e.value)))
+        shrink = jnp.logical_and(a_old, jnp.logical_not(a_new))
+        old_choices = self.step.trace_choices(old_steps)
+        shrink_cm_entries = {}
+        for k2, e in old_choices.entries.items():
+            shrink_cm_entries[k2] = Entry(
+                e.value, _and_lead(e.mask, shrink, jnp.ndim(e.value)))
+        discard = ChoiceMap(disc_entries).merge(ChoiceMap(shrink_cm_entries))
+        inner = {"steps": steps, "t": t_new, "outer_mask": True}
+        new_tr = Trace(self, new_args, states, score, inner)
+        # adjust logq: caller computes weight = new.score - old.score - logq,
+        # where old.score was computed with the *old* masks. Consistent.
+        return new_tr, logq, discard
+
+    def _regenerate(self, key, tr: Trace, new_args, selection: Selection):
+        t_new, state0, params = self._split_args(new_args)
+        t_old = tr.inner["t"]
+        outer_mask = tr.inner["outer_mask"]
+        old_steps = tr.inner["steps"]
+        dsel, sel_static = self._slice_sel(self._densify_selection(selection))
+        ts = jnp.arange(self.T, dtype=jnp.int32)
+
+        def body(state, xs):
+            if sel_static:
+                t, old_step = xs
+                step_sel = dsel
+            else:
+                t, old_step, step_sel = xs
+            a_old = t < t_old
+            if outer_mask is not True:
+                a_old = jnp.logical_and(a_old, outer_mask)
+            masked_old = self.step.mask_trace(old_step, a_old)
+            k = jr.fold_in(key, t)
+            new_step, sn_t, so_t = self.step._regenerate(
+                k, masked_old, (t, state) + params, step_sel)
+            a_new = t < t_new
+            state = _tree_where(a_new, new_step.retval, state)
+            return state, (new_step, state, sn_t, so_t)
+
+        xs = (ts, old_steps) if sel_static else (ts, old_steps, dsel)
+        _, (steps, states, sns, sos) = lax.scan(body, state0, xs)
+        a_new = self._active(t_new, True)
+        score = jnp.sum(jnp.where(a_new, steps.score, 0.0))
+        sel_new = jnp.sum(jnp.where(a_new, sns, 0.0))
+        sel_old = jnp.sum(jnp.where(a_new, sos, 0.0))
+        inner = {"steps": steps, "t": t_new, "outer_mask": True}
+        return Trace(self, new_args, states, score, inner), sel_new, sel_old
+
+    # -- structure --------------------------------------------------------
+    def trace_choices(self, tr: Trace) -> ChoiceMap:
+        active = self._active(tr.inner["t"], tr.inner["outer_mask"])
+        stacked = self.step.trace_choices(tr.inner["steps"])
+        out = {}
+        for k, e in stacked.entries.items():
+            out[k] = Entry(e.value, _and_lead(e.mask, active, jnp.ndim(e.value)))
+        return ChoiceMap(out)
+
+    def mask_trace(self, tr: Trace, m) -> Trace:
+        om = tr.inner["outer_mask"]
+        if m is True:
+            new_om = om
+        elif om is True:
+            new_om = m
+        else:
+            new_om = jnp.logical_and(om, m)
+        inner = {"steps": tr.inner["steps"], "t": tr.inner["t"],
+                 "outer_mask": new_om}
+        return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
+
+
+class MapCombinator(GenFn):
+    """IID plate combinator: vmap the kernel over a static leading axis.
+
+    ``MapCombinator(kernel, n)`` called with args that are either broadcast
+    (python/0-d) or have a leading ``[n]`` axis; all addresses get a leading
+    ``[n]`` axis in the trace. Equivalent of Gen's ``Map`` combinator.
+    """
+
+    def __init__(self, kernel: GenFn, n: int):
+        self.kernel = kernel
+        self.n = int(n)
+
+    def _vargs(self, args):
+        in_axes = []
+        vargs = []
+        for a in args:
+            arr = a
+            if (hasattr(arr, "shape") and len(jnp.shape(arr)) > 0
+                    and jnp.shape(arr)[0] == self.n):
+                in_axes.append(0)
+                vargs.append(arr)
+            else:
+                in_axes.append(None)
+                vargs.append(arr)
+        return tuple(vargs), tuple(in_axes)
+
+    def simulate(self, key, args):
+        vargs, axes = self._vargs(args)
+        keys = jr.split(key, self.n)
+        steps = jax.vmap(
+            lambda k, *a: self.kernel.simulate(k, a),
+            in_axes=(0,) + axes)(keys, *vargs)
+        score = jnp.sum(steps.score)
+        return Trace(self, args, steps.retval, score, {"steps": steps})
+
+    def generate(self, key, args, constraints: ChoiceMap = EMPTY):
+        vargs, axes = self._vargs(args)
+        keys = jr.split(key, self.n)
+        # constraints: dense entries with [n] leading axis
+        steps, ws = jax.vmap(
+            lambda k, c, *a: self.kernel.generate(k, a, c),
+            in_axes=(0, 0) + axes)(keys, constraints, *vargs)
+        score = jnp.sum(steps.score)
+        return (Trace(self, args, steps.retval, score, {"steps": steps}),
+                jnp.sum(ws))
+
+    def assess(self, args, choices: ChoiceMap):
+        vargs, axes = self._vargs(args)
+        retvals, ss = jax.vmap(
+            lambda c, *a: self.kernel.assess(a, c),
+            in_axes=(0,) + axes)(choices, *vargs)
+        return retvals, jnp.sum(ss)
+
+    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap):
+        vargs, axes = self._vargs(new_args)
+        keys = jr.split(key, self.n)
+        steps, logqs, disc = jax.vmap(
+            lambda k, o, c, *a: self.kernel._update(k, o, a, c),
+            in_axes=(0, 0, 0) + axes)(keys, tr.inner["steps"], constraints,
+                                      *vargs)
+        score = jnp.sum(steps.score)
+        return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
+                jnp.sum(logqs), disc)
+
+    def _regenerate(self, key, tr: Trace, new_args, selection: Selection):
+        vargs, axes = self._vargs(new_args)
+        keys = jr.split(key, self.n)
+        steps, sns, sos = jax.vmap(
+            lambda k, o, *a: self.kernel._regenerate(k, o, a, selection),
+            in_axes=(0, 0) + axes)(keys, tr.inner["steps"], *vargs)
+        score = jnp.sum(steps.score)
+        return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
+                jnp.sum(sns), jnp.sum(sos))
+
+    def trace_choices(self, tr: Trace) -> ChoiceMap:
+        return self.kernel.trace_choices(tr.inner["steps"])
+
+    def mask_trace(self, tr: Trace, m) -> Trace:
+        steps = self.kernel.mask_trace(tr.inner["steps"], m)
+        return Trace(tr.gen_fn, tr.args, tr.retval, tr.score,
+                     {"steps": steps})

@@ -1,0 +1,583 @@
+"""TPU-native Generative Function Interface (GFI).
+
+This is the from-scratch equivalent of the Gen.jl substrate the reference
+builds on (imported at /root/reference/src/GenParticleFilters.jl:3-4): traces,
+``simulate`` / ``generate`` / ``propose`` / ``assess`` / ``update`` /
+``regenerate``, and accessors (``get_choices`` / ``get_args`` / ``get_retval``
+/ ``get_score`` / ``get_gen_fn``).
+
+Design inversion vs. the reference's substrate: a trace is a **fixed-shape
+pytree** with a static address schema, every interpreter is a **pure jittable
+function** of ``(key, args, constraints)``, and per-particle loops become
+``jax.vmap`` over a leading particle axis. Models are written with the
+``@gen`` decorator; random choices are made with ``trace(addr, dist)`` which
+dispatches to the active interpreter through a Python-side handler stack
+(resolved entirely at JAX trace time — zero runtime overhead).
+
+Weight semantics (matching Gen's GFI contract):
+
+- ``generate``:   weight = Σ log p(constrained choices | rest)
+- ``update``:     weight = score_new − score_old − Σ log q(freshly sampled)
+- ``regenerate``: weight = (score_new − Σ_sel lp_new) − (score_old − Σ_sel lp_old)
+
+The internal protocol (``_update`` / ``_regenerate``) exposes the raw
+(score, logq / selection-lp) pieces so masked combinators like
+:class:`~.combinators.Unfold` can apply per-step active masks before summing
+— this is how Gen's dynamic trace extension becomes static-shape masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from .choicemap import (ChoiceMap, Entry, Selection, EMPTY, NONE)
+from .distributions import Distribution
+
+__all__ = [
+    "Trace", "GenFn", "DynamicGenFn", "gen", "trace",
+    "NoChange", "UnknownChange",
+    "simulate", "generate", "propose", "assess", "update", "regenerate",
+    "get_choices", "get_args", "get_retval", "get_score", "get_gen_fn",
+]
+
+
+# ---------------------------------------------------------------------------
+# Argdiffs (API-parity sentinels; interpreters re-execute vectorized, so
+# diffs are accepted for compatibility with the reference's call signatures,
+# e.g. /root/reference/src/update.jl:12, but carry no information)
+# ---------------------------------------------------------------------------
+
+class NoChange:
+    def __repr__(self):
+        return "NoChange()"
+
+
+class UnknownChange:
+    def __repr__(self):
+        return "UnknownChange()"
+
+
+# ---------------------------------------------------------------------------
+# Trace
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class Trace:
+    """An execution record: gen_fn (static), args, retval, score, and a
+    gen_fn-specific ``inner`` payload holding choices and per-site scores."""
+
+    __slots__ = ("gen_fn", "args", "retval", "score", "inner")
+
+    def __init__(self, gen_fn, args, retval, score, inner):
+        self.gen_fn = gen_fn
+        self.args = args
+        self.retval = retval
+        self.score = score
+        self.inner = inner
+
+    def tree_flatten(self):
+        return (self.args, self.retval, self.score, self.inner), self.gen_fn
+
+    @classmethod
+    def tree_unflatten(cls, gen_fn, children):
+        return cls(gen_fn, *children)
+
+    # Gen-style accessors (spec: /root/reference/SURVEY — L0 surface)
+    def get_choices(self) -> ChoiceMap:
+        return self.gen_fn.trace_choices(self)
+
+    def get_args(self):
+        return self.args
+
+    def get_retval(self):
+        return self.retval
+
+    def get_score(self):
+        return self.score
+
+    def get_gen_fn(self):
+        return self.gen_fn
+
+    def __getitem__(self, addr):
+        """Query a choice value by (possibly hierarchical) address."""
+        return self.get_choices()[addr]
+
+
+# ---------------------------------------------------------------------------
+# GenFn base
+# ---------------------------------------------------------------------------
+
+class GenFn:
+    """Base class for generative functions."""
+
+    # -- public GFI -------------------------------------------------------
+    def simulate(self, key, args) -> Trace:
+        raise NotImplementedError
+
+    def generate(self, key, args, constraints: ChoiceMap = EMPTY
+                 ) -> Tuple[Trace, jax.Array]:
+        raise NotImplementedError
+
+    def propose(self, key, args):
+        tr = self.simulate(key, args)
+        return tr.get_choices(), tr.score, tr.retval
+
+    def assess(self, args, choices: ChoiceMap):
+        raise NotImplementedError
+
+    def update(self, key, tr: Trace, new_args, argdiffs, constraints: ChoiceMap):
+        new_tr, logq, discard = self._update(key, tr, new_args, constraints)
+        weight = new_tr.score - tr.score - logq
+        return new_tr, weight, UnknownChange(), discard
+
+    def regenerate(self, key, tr: Trace, new_args, argdiffs,
+                   selection: Selection):
+        new_tr, sel_new, sel_old = self._regenerate(
+            key, tr, new_args, selection)
+        weight = (new_tr.score - sel_new) - (tr.score - sel_old)
+        return new_tr, weight
+
+    # -- internal protocol (used by masked combinators) -------------------
+    def _update(self, key, tr, new_args, constraints):
+        """Returns (new_trace, logq_fresh, discard)."""
+        raise NotImplementedError
+
+    def _regenerate(self, key, tr, new_args, selection):
+        """Returns (new_trace, sel_lp_new, sel_lp_old)."""
+        raise NotImplementedError
+
+    # -- structure --------------------------------------------------------
+    def trace_choices(self, tr: Trace) -> ChoiceMap:
+        raise NotImplementedError
+
+    def mask_trace(self, tr: Trace, m) -> Trace:
+        """AND every choice's presence mask with ``m`` (traced bool ok)."""
+        raise NotImplementedError
+
+    def __call__(self, *args):
+        """Inside a @gen body, ``gf(args...)`` at an address via trace()."""
+        raise TypeError(
+            "Generative functions must be invoked via trace(addr, gf, args).")
+
+
+# ---------------------------------------------------------------------------
+# Handler machinery for the @gen DSL
+# ---------------------------------------------------------------------------
+
+_HANDLER_STACK = []
+
+
+def trace(addr, dist_or_gf, args=None):
+    """Make a random choice at ``addr`` inside a ``@gen`` function body.
+
+    ``trace("x", normal(0., 1.))`` samples from a primitive distribution;
+    ``trace("sub", other_gen_fn, (a, b))`` calls another generative function.
+    Equivalent of Gen's ``{addr} ~ dist(...)`` syntax
+    (/root/reference/test/runtests.jl:3-16).
+    """
+    if not _HANDLER_STACK:
+        raise RuntimeError(
+            "trace() called outside of a generative-function interpreter; "
+            "models must be run via simulate/generate/assess/update/etc.")
+    h = _HANDLER_STACK[-1]
+    if isinstance(dist_or_gf, Distribution):
+        return h.dist_site(addr, dist_or_gf)
+    return h.call_site(addr, dist_or_gf, tuple(args) if args is not None else ())
+
+
+def _masked_sum(lp, m):
+    """Σ lp over set mask bits; NaN/Inf-safe (masked slots contribute 0)."""
+    if m is True:
+        return jnp.sum(lp)
+    if m is False:
+        return jnp.asarray(0.0, dtype=jnp.float32)
+    mb = jnp.broadcast_to(jnp.asarray(m, bool), jnp.shape(lp)) if jnp.ndim(lp) else jnp.asarray(m, bool)
+    return jnp.sum(jnp.where(mb, lp, 0.0))
+
+
+def _broadcast_val(value, like):
+    v = jnp.asarray(value)
+    if v.dtype != like.dtype:
+        v = v.astype(like.dtype)
+    return jnp.broadcast_to(v, jnp.shape(like))
+
+
+def _mask_to(m, like_shape):
+    if m is True or m is False:
+        return m
+    mb = jnp.asarray(m, bool)
+    extra = len(like_shape) - mb.ndim
+    if extra > 0:
+        mb = mb.reshape(mb.shape + (1,) * extra)
+    return jnp.broadcast_to(mb, like_shape)
+
+
+def _and_masks(a, b):
+    if a is True:
+        return b
+    if b is True:
+        return a
+    if a is False or b is False:
+        return False
+    return jnp.logical_and(a, b)
+
+
+def _not_mask(m):
+    if m is True:
+        return False
+    if m is False:
+        return True
+    return jnp.logical_not(m)
+
+
+class _Handler:
+    """Shared accumulator state for all interpreters of the dynamic DSL."""
+
+    def __init__(self, key):
+        self.key = key
+        self._ctr = 0
+        self.sites: Dict[str, Entry] = {}
+        self.subs: Dict[str, Trace] = {}
+        self.site_scores: Dict[str, jax.Array] = {}
+        self.score = jnp.asarray(0.0, jnp.float32)
+
+    def fresh_key(self):
+        self._ctr += 1
+        if self.key is None:
+            raise RuntimeError("this interpreter does not sample; a site "
+                               "required sampling but no key was provided")
+        return jr.fold_in(self.key, self._ctr)
+
+    def record(self, addr, value, lp):
+        if addr in self.sites or addr in self.subs:
+            raise ValueError(f"duplicate address {addr!r} in @gen function")
+        self.sites[addr] = Entry(value, True)
+        self.site_scores[addr] = lp
+        self.score = self.score + jnp.sum(lp)
+
+    def record_sub(self, addr, sub_tr):
+        if addr in self.sites or addr in self.subs:
+            raise ValueError(f"duplicate address {addr!r} in @gen function")
+        self.subs[addr] = sub_tr
+        self.score = self.score + sub_tr.score
+
+    def inner(self):
+        return {"sites": self.sites, "subs": self.subs,
+                "site_scores": self.site_scores}
+
+
+class _SimulateHandler(_Handler):
+    def dist_site(self, addr, dist):
+        v = dist.sample(self.fresh_key())
+        self.record(addr, v, dist.log_prob(v))
+        return v
+
+    def call_site(self, addr, gf, args):
+        sub = gf.simulate(self.fresh_key(), args)
+        self.record_sub(addr, sub)
+        return sub.retval
+
+
+class _GenerateHandler(_Handler):
+    def __init__(self, key, constraints: ChoiceMap):
+        super().__init__(key)
+        self.constraints = constraints
+        self.weight = jnp.asarray(0.0, jnp.float32)
+
+    def dist_site(self, addr, dist):
+        e = self.constraints.entries.get((addr,))
+        if e is None:
+            v = dist.sample(self.fresh_key())
+            self.record(addr, v, dist.log_prob(v))
+            return v
+        if e.mask is True:
+            sampled = dist.sample(self.fresh_key())
+            v = _broadcast_val(e.value, sampled)
+            lp = dist.log_prob(v)
+            self.weight = self.weight + jnp.sum(lp)
+            self.record(addr, v, lp)
+            return v
+        sampled = dist.sample(self.fresh_key())
+        m = _mask_to(e.mask, jnp.shape(sampled))
+        v = jnp.where(m, _broadcast_val(e.value, sampled), sampled)
+        lp = dist.log_prob(v)
+        self.weight = self.weight + _masked_sum(lp, m)
+        self.record(addr, v, lp)
+        return v
+
+    def call_site(self, addr, gf, args):
+        sub, w = gf.generate(self.fresh_key(), args,
+                             self.constraints.scope(addr))
+        self.weight = self.weight + w
+        self.record_sub(addr, sub)
+        return sub.retval
+
+
+class _AssessHandler(_Handler):
+    def __init__(self, choices: ChoiceMap):
+        super().__init__(None)
+        self.choices = choices
+
+    def dist_site(self, addr, dist):
+        e = self.choices.entries.get((addr,))
+        if e is None:
+            raise ValueError(f"assess: missing choice at address {addr!r}")
+        v = jnp.asarray(e.value)
+        self.record(addr, v, dist.log_prob(v))
+        return v
+
+    def call_site(self, addr, gf, args):
+        retval, score = gf.assess(args, self.choices.scope(addr))
+        # record as a pseudo-site score for completeness
+        self.score = self.score + score
+        return retval
+
+
+class _UpdateHandler(_Handler):
+    def __init__(self, key, old_inner, constraints: ChoiceMap):
+        super().__init__(key)
+        self.old_sites = old_inner["sites"]
+        self.old_subs = old_inner["subs"]
+        self.constraints = constraints
+        self.logq = jnp.asarray(0.0, jnp.float32)
+        self.discard: Dict[Tuple, Entry] = {}
+
+    def dist_site(self, addr, dist):
+        e = self.constraints.entries.get((addr,))
+        old = self.old_sites.get(addr)
+        sampled = dist.sample(self.fresh_key())
+        shape = jnp.shape(sampled)
+
+        mc = False if e is None else _mask_to(e.mask, shape)
+        mo = False if old is None else _mask_to(old.mask, shape)
+
+        # value priority: constraint > old > fresh
+        v = sampled
+        if mo is not False:
+            ov = _broadcast_val(old.value, sampled)
+            v = ov if mo is True else jnp.where(mo, ov, v)
+        if mc is not False:
+            cv = _broadcast_val(e.value, sampled)
+            v = cv if mc is True else jnp.where(mc, cv, v)
+
+        lp = dist.log_prob(v)
+        fresh = _and_masks(_not_mask(mc), _not_mask(mo))
+        if fresh is not False:
+            self.logq = self.logq + _masked_sum(lp, fresh)
+        overwritten = _and_masks(mc, mo)
+        if overwritten is not False and old is not None:
+            self.discard[(addr,)] = Entry(old.value, overwritten)
+        self.record(addr, v, lp)
+        return v
+
+    def call_site(self, addr, gf, args):
+        old_sub = self.old_subs.get(addr)
+        if old_sub is None:
+            sub, w = gf.generate(self.fresh_key(), args,
+                                 self.constraints.scope(addr))
+            # fresh sub-call: everything unconstrained was freshly sampled
+            self.logq = self.logq + (sub.score - w)
+            self.record_sub(addr, sub)
+            return sub.retval
+        sub, logq, disc = gf._update(self.fresh_key(), old_sub, args,
+                                     self.constraints.scope(addr))
+        self.logq = self.logq + logq
+        for k, v in disc.entries.items():
+            self.discard[(addr,) + k] = v
+        self.record_sub(addr, sub)
+        return sub.retval
+
+
+class _RegenerateHandler(_Handler):
+    def __init__(self, key, old_inner, selection: Selection):
+        super().__init__(key)
+        self.old_sites = old_inner["sites"]
+        self.old_subs = old_inner["subs"]
+        self.old_site_scores = old_inner["site_scores"]
+        self.selection = selection
+        self.sel_new = jnp.asarray(0.0, jnp.float32)
+        self.sel_old = jnp.asarray(0.0, jnp.float32)
+
+    def dist_site(self, addr, dist):
+        old = self.old_sites.get(addr)
+        sel = self.selection.scope(addr).mask_at_leaf()
+        sampled = dist.sample(self.fresh_key())
+        shape = jnp.shape(sampled)
+        if old is None:
+            # structurally new site: treat as fresh (counts in both new score
+            # and sel_new, canceling in the weight)
+            lp = dist.log_prob(sampled)
+            self.sel_new = self.sel_new + jnp.sum(lp)
+            self.record(addr, sampled, lp)
+            return sampled
+        mo = _mask_to(old.mask, shape)
+        ms = _mask_to(sel, shape)
+        ov = _broadcast_val(old.value, sampled)
+        # selected (or old-absent) slots are resampled
+        resample = _and_masks(_not_mask(_and_masks(mo, _not_mask(ms))), True)
+        if resample is False:
+            v = ov
+        elif resample is True:
+            v = sampled
+        else:
+            v = jnp.where(resample, sampled, ov)
+        lp = dist.log_prob(v)
+        if resample is not False:
+            self.sel_new = self.sel_new + _masked_sum(lp, resample)
+            old_lp = self.old_site_scores.get(addr)
+            if old_lp is not None:
+                self.sel_old = self.sel_old + _masked_sum(
+                    jnp.broadcast_to(old_lp, shape) if jnp.shape(old_lp) != shape else old_lp,
+                    _and_masks(resample, mo))
+        self.record(addr, v, lp)
+        return v
+
+    def call_site(self, addr, gf, args):
+        old_sub = self.old_subs.get(addr)
+        if old_sub is None:
+            sub = gf.simulate(self.fresh_key(), args)
+            self.sel_new = self.sel_new + sub.score
+            self.record_sub(addr, sub)
+            return sub.retval
+        sub, sn, so = gf._regenerate(self.fresh_key(), old_sub, args,
+                                     self.selection.scope(addr))
+        self.sel_new = self.sel_new + sn
+        self.sel_old = self.sel_old + so
+        self.record_sub(addr, sub)
+        return sub.retval
+
+
+# ---------------------------------------------------------------------------
+# DynamicGenFn — the @gen DSL
+# ---------------------------------------------------------------------------
+
+class DynamicGenFn(GenFn):
+    """A generative function defined by a Python body using :func:`trace`.
+
+    The address set must be static (same sites on every execution); data-
+    dependent *values* are fine (use ``jnp.where``), data-dependent *structure*
+    is not — this is what makes traces fixed-shape pytrees and the whole GFI
+    jit/vmap-compatible.
+    """
+
+    def __init__(self, fn: Callable, name: str | None = None):
+        self.fn = fn
+        self.name = name or getattr(fn, "__name__", "gen_fn")
+
+    def __repr__(self):
+        return f"@gen {self.name}"
+
+    def _run(self, handler, args):
+        _HANDLER_STACK.append(handler)
+        try:
+            retval = self.fn(*args)
+        finally:
+            _HANDLER_STACK.pop()
+        return retval
+
+    def _mk_trace(self, args, retval, h: _Handler):
+        return Trace(self, args, retval, h.score, h.inner())
+
+    # -- GFI --------------------------------------------------------------
+    def simulate(self, key, args):
+        h = _SimulateHandler(key)
+        retval = self._run(h, args)
+        return self._mk_trace(args, retval, h)
+
+    def generate(self, key, args, constraints: ChoiceMap = EMPTY):
+        h = _GenerateHandler(key, constraints)
+        retval = self._run(h, args)
+        return self._mk_trace(args, retval, h), h.weight
+
+    def assess(self, args, choices: ChoiceMap):
+        h = _AssessHandler(choices)
+        retval = self._run(h, args)
+        return retval, h.score
+
+    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap):
+        h = _UpdateHandler(key, tr.inner, constraints)
+        retval = self._run(h, new_args)
+        return self._mk_trace(new_args, retval, h), h.logq, ChoiceMap(h.discard)
+
+    def _regenerate(self, key, tr: Trace, new_args, selection: Selection):
+        h = _RegenerateHandler(key, tr.inner, selection)
+        retval = self._run(h, new_args)
+        return self._mk_trace(new_args, retval, h), h.sel_new, h.sel_old
+
+    # -- structure --------------------------------------------------------
+    def trace_choices(self, tr: Trace) -> ChoiceMap:
+        out: Dict[Tuple, Entry] = {}
+        for addr, e in tr.inner["sites"].items():
+            out[(addr,)] = e
+        for addr, sub in tr.inner["subs"].items():
+            for k, v in sub.get_choices().entries.items():
+                out[(addr,) + k] = v
+        return ChoiceMap(out)
+
+    def mask_trace(self, tr: Trace, m) -> Trace:
+        sites = {a: Entry(e.value, _and_masks(e.mask, m))
+                 for a, e in tr.inner["sites"].items()}
+        subs = {a: s.gen_fn.mask_trace(s, m)
+                for a, s in tr.inner["subs"].items()}
+        inner = {"sites": sites, "subs": subs,
+                 "site_scores": tr.inner["site_scores"]}
+        return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
+
+
+def gen(fn: Callable) -> DynamicGenFn:
+    """Decorator: turn a Python function using :func:`trace` into a
+    generative function (equivalent of Gen's ``@gen``)."""
+    return DynamicGenFn(fn)
+
+
+# ---------------------------------------------------------------------------
+# Module-level GFI verbs (Gen-style free functions)
+# ---------------------------------------------------------------------------
+
+def simulate(gf: GenFn, key, args):
+    return gf.simulate(key, args)
+
+
+def generate(gf: GenFn, key, args, constraints: ChoiceMap = EMPTY):
+    return gf.generate(key, args, constraints)
+
+
+def propose(gf: GenFn, key, args):
+    return gf.propose(key, args)
+
+
+def assess(gf: GenFn, args, choices: ChoiceMap):
+    return gf.assess(args, choices)
+
+
+def update(key, tr: Trace, new_args, argdiffs, constraints: ChoiceMap):
+    return tr.gen_fn.update(key, tr, new_args, argdiffs, constraints)
+
+
+def regenerate(key, tr: Trace, new_args, argdiffs, selection: Selection):
+    return tr.gen_fn.regenerate(key, tr, new_args, argdiffs, selection)
+
+
+def get_choices(tr: Trace):
+    return tr.get_choices()
+
+
+def get_args(tr: Trace):
+    return tr.get_args()
+
+
+def get_retval(tr: Trace):
+    return tr.get_retval()
+
+
+def get_score(tr: Trace):
+    return tr.get_score()
+
+
+def get_gen_fn(tr: Trace):
+    return tr.get_gen_fn()
