@@ -78,9 +78,14 @@ class Unfold(GenFn):
         return t_active, state0, params
 
     def _active(self, t_active, outer_mask):
-        a = jnp.arange(self.T, dtype=jnp.int32) < t_active
+        """Active-step mask; supports batched ``t_active`` of shape [*B]
+        (e.g. a stacked particle axis), giving a [*B, T] mask."""
+        t = jnp.asarray(t_active, jnp.int32)
+        steps = jnp.arange(self.T, dtype=jnp.int32)
+        a = steps < (t[..., None] if t.ndim else t)
         if outer_mask is not True:
-            a = jnp.logical_and(a, outer_mask)
+            om = jnp.asarray(outer_mask, bool)
+            a = jnp.logical_and(a, om[..., None] if om.ndim else om)
         return a
 
     def _densify(self, cm: ChoiceMap) -> ChoiceMap:

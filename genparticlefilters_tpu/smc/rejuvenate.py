@@ -1,0 +1,196 @@
+"""Rejuvenation moves (ref: /root/reference/src/rejuvenate.jl).
+
+- ``pf_rejuvenate`` dispatcher: ``move`` (MCMC accept/reject, weights
+  untouched; ref lines 40-53) or ``reweight`` (kernel returns a relative
+  log-weight accumulated into the particle weights; ref lines 74-90).
+- ``mh``: Metropolis–Hastings kernel via ``regenerate`` + accept mask
+  (Gen's ``mh``, used at /root/reference/README.md:72-73), plus the
+  custom-proposal form.
+- ``move_reweight``: the 4 kernel variants of ref lines 125-176
+  (selection / custom proposal / involution / distinct fwd+bwd proposals).
+
+TPU-native: kernels are pure ``(key, trace, ...) -> (trace, aux)`` functions;
+the accept/reject branch is a ``tree_where`` select (no control flow), the
+per-particle loop is ``vmap``, and ``n_iters`` sweeps run as a ``lax.scan``.
+Instead of the reference's ``@debug`` log-capture oracle
+(test/rejuvenate.jl:31-50), kernels' accept flags / relative weights are
+returned as arrays when ``return_stats=True``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import lax
+
+from ..core.choicemap import ChoiceMap, Selection, EMPTY
+from ..core.gfi import GenFn, Trace, NoChange
+from .state import ParticleFilterState, ParticleFilterSubState
+from .update import _block
+
+__all__ = ["pf_rejuvenate", "pf_move_accept", "pf_move_reweight",
+           "mh", "move_reweight", "check_observations"]
+
+
+def _tree_select(cond, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+def _nochange(args):
+    return tuple(NoChange() for _ in args)
+
+
+def check_observations(choices: ChoiceMap, observations: ChoiceMap,
+                       atol=1e-5):
+    """Eager check that observed choices are preserved (Gen's
+    ``check_observations``; ref: src/rejuvenate.jl:5,130)."""
+    if observations is EMPTY or not observations.entries:
+        return
+    for k, e in observations.entries.items():
+        got = choices.resolve(k)
+        if got is None:
+            raise ValueError(f"observation at {k} missing from trace")
+        gv = jnp.asarray(got.value)
+        if isinstance(gv, jax.core.Tracer):
+            return  # cannot compare under tracing
+        if not bool(jnp.all(jnp.abs(
+                gv.astype(jnp.float32)
+                - jnp.asarray(e.value, jnp.float32)) <= atol)):
+            raise ValueError(f"observation at {k} was modified")
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
+       check=False, observations: ChoiceMap = EMPTY):
+    """Metropolis–Hastings kernel: ``(new_trace, accept)``.
+
+    Selection form: regenerate the selected addresses from the internal
+    proposal and accept with probability ``min(1, e^weight)``.
+    Proposal form: propose from a custom proposal, update, and assess the
+    discarded choices under the proposal for the reverse density.
+    """
+    k1, k2, k3 = jr.split(key, 3)
+    args = trace.get_args()
+    if isinstance(selection_or_proposal, Selection):
+        new_tr, w = trace.gen_fn.regenerate(
+            k1, trace, args, _nochange(args), selection_or_proposal)
+    else:
+        proposal: GenFn = selection_or_proposal
+        p_args = tuple(proposal_args or ())
+        fwd_choices, fwd_score, _ = proposal.propose(k1, (trace,) + p_args)
+        new_tr, w_upd, _, discard = trace.gen_fn.update(
+            k2, trace, args, _nochange(args), fwd_choices)
+        bwd_score, _ = proposal.assess((new_tr,) + p_args, discard)
+        w = w_upd - fwd_score + bwd_score
+    accept = jnp.log(jr.uniform(k3, (), jnp.float32)) < w
+    out = _tree_select(accept, new_tr, trace)
+    if check:
+        check_observations(out.get_choices(), observations)
+    return out, accept
+
+
+def move_reweight(key, trace: Trace, selection_or_proposal,
+                  proposal_args=None, involution=None,
+                  bwd_proposal: GenFn | None = None, bwd_args=None,
+                  check=False, observations: ChoiceMap = EMPTY):
+    """Move-reweight kernel: ``(new_trace, rel_log_weight)``
+    (ref: src/rejuvenate.jl:125-176, Marques & Storvik 2013).
+
+    Variants (mirroring the reference's 4 methods):
+    1. selection: regenerate, rel_weight = regenerate weight
+    2. proposal: propose → update → assess(discard), w = Δ − fwd + bwd
+    3. proposal + involution
+    4. distinct fwd/bwd proposals + involution
+    """
+    args = trace.get_args()
+    if isinstance(selection_or_proposal, Selection):
+        new_tr, rel_w = trace.gen_fn.regenerate(
+            key, trace, args, _nochange(args), selection_or_proposal)
+        if check:
+            check_observations(new_tr.get_choices(), observations)
+        return new_tr, rel_w
+
+    proposal: GenFn = selection_or_proposal
+    p_args = tuple(proposal_args or ())
+    k1, k2 = jr.split(key)
+    fwd_choices, fwd_score, fwd_ret = proposal.propose(k1, (trace,) + p_args)
+    if involution is None:
+        new_tr, w, _, discard = trace.gen_fn.update(
+            k2, trace, args, _nochange(args), fwd_choices)
+        bwd_score, _ = proposal.assess((new_tr,) + p_args, discard)
+    else:
+        new_tr, bwd_choices, w = involution(trace, fwd_choices, fwd_ret,
+                                            p_args)
+        scorer = bwd_proposal if bwd_proposal is not None else proposal
+        s_args = tuple(bwd_args or ()) if bwd_proposal is not None else p_args
+        bwd_score, _ = scorer.assess((new_tr,) + s_args, bwd_choices)
+    if check:
+        check_observations(new_tr.get_choices(), observations)
+    return new_tr, w - fwd_score + bwd_score
+
+
+# ---------------------------------------------------------------------------
+# State-level rejuvenation
+# ---------------------------------------------------------------------------
+
+def _sweeps(key, traces, kern, kern_args, n_iters, kwargs):
+    """Apply ``kern`` n_iters times per particle (vmap outside, scan inside).
+    Returns (new_traces, aux_sum [N], aux_last [N])."""
+    n = jax.tree_util.tree_leaves(traces.score)[0].shape[0]
+    keys = jr.split(key, n)
+
+    def per_particle(k, tr):
+        def body(carry, i):
+            tr, acc = carry
+            ki = jr.fold_in(k, i)
+            tr2, aux = kern(ki, tr, *kern_args, **kwargs)
+            aux_f = jnp.asarray(aux, jnp.float32)
+            return (tr2, acc + aux_f), aux_f
+
+        (tr_out, aux_sum), aux_all = lax.scan(
+            body, (tr, jnp.asarray(0.0, jnp.float32)),
+            jnp.arange(n_iters, dtype=jnp.int32))
+        return tr_out, aux_sum, aux_all
+
+    return jax.vmap(per_particle)(keys, traces)
+
+
+def pf_move_accept(key, state, kern=mh, kern_args=(), n_iters: int = 1,
+                   return_stats: bool = False, **kwargs):
+    """MCMC rejuvenation; weights untouched (ref: src/rejuvenate.jl:40-53)."""
+    traces, log_weights, n, scatter = _block(state)
+    new_traces, acc_sum, acc_all = _sweeps(
+        key, traces, kern, kern_args, n_iters, kwargs)
+    out = scatter(new_traces, log_weights)
+    if return_stats:
+        return out, {"accepts": acc_all, "accept_rate": jnp.mean(
+            acc_sum / float(n_iters))}
+    return out
+
+
+def pf_move_reweight(key, state, kern=move_reweight, kern_args=(),
+                     n_iters: int = 1, return_stats: bool = False, **kwargs):
+    """Move-reweight rejuvenation; accumulates relative weights
+    (ref: src/rejuvenate.jl:74-90)."""
+    traces, log_weights, n, scatter = _block(state)
+    new_traces, w_sum, w_all = _sweeps(
+        key, traces, kern, kern_args, n_iters, kwargs)
+    out = scatter(new_traces, log_weights + w_sum)
+    if return_stats:
+        return out, {"rel_weights": w_all}
+    return out
+
+
+def pf_rejuvenate(key, state, kern=mh, kern_args=(), n_iters: int = 1,
+                  method: str = "move", **kwargs):
+    """Dispatcher (ref: src/rejuvenate.jl:18-27)."""
+    if method == "move":
+        return pf_move_accept(key, state, kern, kern_args, n_iters, **kwargs)
+    if method == "reweight":
+        return pf_move_reweight(key, state, kern, kern_args, n_iters,
+                                **kwargs)
+    raise ValueError(f"Method {method!r} not recognized.")

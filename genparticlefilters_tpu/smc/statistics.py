@@ -1,0 +1,75 @@
+"""Weighted posterior statistics (ref: /root/reference/src/statistics.jl).
+
+``mean``/``var``/``proportionmap`` over a trace address (or the return
+value), with an optional mapped function over one or more addresses — the
+reference's 15 method overloads (src/statistics.jl:13-130) collapse into
+three address-polymorphic functions. ``mean``/``var`` are jittable reductions
+over the particle axis; ``proportionmap`` is a host-side diagnostic (returns
+a Python dict keyed by unique values, like StatsBase's weighted countmap).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .state import get_norm_weights, batched_choice
+
+__all__ = ["mean", "var", "proportionmap"]
+
+
+def _values(state, addr, fn, addrs):
+    if addr is None:
+        vals = state.traces.get_retval()
+        if fn is not None:
+            vals = fn(vals)
+    else:
+        vals = batched_choice(state, addr)
+        if fn is not None:
+            extra = [batched_choice(state, a) for a in addrs]
+            vals = fn(vals, *extra)
+    return vals
+
+
+def _wsum(w, x):
+    x = jnp.asarray(x, jnp.float32)
+    wshape = w.shape + (1,) * (x.ndim - 1)
+    return jnp.sum(w.reshape(wshape) * x, axis=0)
+
+
+def mean(state, addr=None, fn: Callable | None = None, *addrs):
+    """Weighted empirical mean at ``addr`` (or of the retval / a mapped
+    function of several addresses). Ref: src/statistics.jl:13-38."""
+    if callable(addr) and fn is None:
+        # mean(fn, state-style) convenience: mean(state, fn=...) preferred
+        fn, addr = addr, None
+    w = get_norm_weights(state)
+    vals = _values(state, addr, fn, addrs)
+    return _wsum(w, vals)
+
+
+def var(state, addr=None, fn: Callable | None = None, *addrs):
+    """Weighted (uncorrected) empirical variance. Ref: src/statistics.jl:48-82."""
+    if callable(addr) and fn is None:
+        fn, addr = addr, None
+    w = get_norm_weights(state)
+    vals = jnp.asarray(_values(state, addr, fn, addrs), jnp.float32)
+    mu = _wsum(w, vals)
+    return _wsum(w, (vals - mu) ** 2)
+
+
+def proportionmap(state, addr=None, fn: Callable | None = None, *addrs):
+    """Dict mapping each unique value at ``addr`` to its total normalized
+    weight (ref: src/statistics.jl:91-130). Host-side (not jittable)."""
+    if callable(addr) and fn is None:
+        fn, addr = addr, None
+    w = np.asarray(get_norm_weights(state))
+    vals = np.asarray(_values(state, addr, fn, addrs))
+    out = {}
+    for v, wi in zip(vals.tolist(), w.tolist()):
+        key = tuple(v) if isinstance(v, list) else v
+        out[key] = out.get(key, 0.0) + wi
+    return out

@@ -1,0 +1,392 @@
+"""Trace translators for SMC-across-models and SMCP³
+(ref: /root/reference/src/translate.jl).
+
+- :class:`ExtendingTraceTranslator` (ref lines 33-120): extend a trace with
+  choices from a forward proposal (or the model's default proposal),
+  optionally passed through a deterministic transform.
+- :class:`UpdatingTraceTranslator` (ref lines 160-274): forward + backward
+  proposals; without a transform this is Del Moral SMC, with one it is SMCP³.
+  Weight = Δscore + log|det J| − fwd_score + bwd_score (ref lines 261-264).
+
+TPU-native improvement over the reference's trace-transform DSL
+(``run_first_pass`` / ``jacobian_correction``): the deterministic transform
+is an ordinary JAX function on choicemaps and **the Jacobian correction is
+computed by automatic differentiation** (``jax.jacfwd`` over the declared
+continuous addresses), so no special DSL is needed and the correction is
+exact to machine precision.
+
+Translators are registered pytrees (proposal gen-fns static, argument/
+observation leaves traced), so a translator can be passed into jitted,
+vmapped SMC steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from ..core.choicemap import ChoiceMap, Entry, EMPTY, normalize_address
+from ..core.gfi import GenFn, Trace, UnknownChange, update as gfi_update
+
+__all__ = ["TraceTransform", "ExtendingTraceTranslator",
+           "UpdatingTraceTranslator", "check_round_trip"]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic transforms with AD Jacobian correction
+# ---------------------------------------------------------------------------
+
+def _get_val(cms, spec):
+    which, addr = spec
+    e = cms[which].entries.get(normalize_address(addr))
+    if e is None:
+        raise KeyError(f"transform: missing continuous address {spec}")
+    return jnp.asarray(e.value)
+
+
+def _set_val(cms, spec, val):
+    which, addr = spec
+    cm = cms[which]
+    k = normalize_address(addr)
+    old = cm.entries.get(k)
+    mask = old.mask if old is not None else True
+    entries = dict(cm.entries)
+    entries[k] = Entry(jnp.reshape(val, jnp.shape(old.value)) if old is not None
+                       else val, mask)
+    cms[which] = ChoiceMap(entries)
+
+
+class TraceTransform:
+    """A deterministic (bijective over its continuous part) map between
+    choicemaps, with AD-computed log|det J|.
+
+    For an :class:`ExtendingTraceTranslator`: ``fn(fwd_choices) ->
+    model_constraints``; continuous specs use ``("fwd", addr)`` inputs and
+    ``("model", addr)`` outputs.
+
+    For an :class:`UpdatingTraceTranslator` (SMCP³): ``fn(prev_model_choices,
+    fwd_choices) -> (model_constraints, bwd_choices)``; inputs may be
+    ``("prev", addr)`` or ``("fwd", addr)``, outputs ``("model", addr)`` or
+    ``("bwd", addr)``.
+
+    ``inverse_fn`` (same signature, roles swapped) enables ``inverse()`` and
+    round-trip checking (ref: src/translate.jl:176-189,266-272).
+    """
+
+    def __init__(self, fn: Callable, continuous_in: Sequence = (),
+                 continuous_out: Sequence = (), inverse_fn: Callable = None,
+                 inverse_continuous_in: Sequence = None,
+                 inverse_continuous_out: Sequence = None):
+        self.fn = fn
+        self.continuous_in = tuple(continuous_in)
+        self.continuous_out = tuple(continuous_out)
+        self.inverse_fn = inverse_fn
+        self.inverse_continuous_in = tuple(
+            inverse_continuous_in if inverse_continuous_in is not None
+            else continuous_out)
+        self.inverse_continuous_out = tuple(
+            inverse_continuous_out if inverse_continuous_out is not None
+            else continuous_in)
+
+    def inverse(self) -> "TraceTransform":
+        if self.inverse_fn is None:
+            raise ValueError("transform has no inverse_fn; provide one to "
+                             "use inverse()/round-trip checks")
+        return TraceTransform(self.inverse_fn,
+                              continuous_in=self.inverse_continuous_in,
+                              continuous_out=self.inverse_continuous_out,
+                              inverse_fn=self.fn,
+                              inverse_continuous_in=self.continuous_out,
+                              inverse_continuous_out=self.continuous_in)
+
+    # -- application ------------------------------------------------------
+    def _apply(self, input_maps: dict, n_outputs: int):
+        """Run fn and compute log|det J| over the declared continuous part."""
+        def run(maps):
+            args = [maps[k] for k in self._input_order(maps)]
+            out = self.fn(*args)
+            if n_outputs == 1:
+                out = (out,)
+            return out
+
+        outs = run(input_maps)
+        logdet = jnp.asarray(0.0, jnp.float32)
+        if self.continuous_in:
+            in_vals = [_get_val(input_maps, s) for s in self.continuous_in]
+            sizes = [int(jnp.size(v)) for v in in_vals]
+            shapes = [jnp.shape(v) for v in in_vals]
+            total_in = sum(sizes)
+
+            def g(x_flat):
+                maps = dict(input_maps)
+                off = 0
+                for s, sz, shp in zip(self.continuous_in, sizes, shapes):
+                    _set_val(maps, s, jnp.reshape(x_flat[off:off + sz], shp))
+                    off += sz
+                out = run(maps)
+                out_named = self._name_outputs(out)
+                pieces = []
+                for s in self.continuous_out:
+                    pieces.append(jnp.ravel(_get_val(out_named, s)))
+                return jnp.concatenate(pieces) if pieces else jnp.zeros((0,))
+
+            x0 = jnp.concatenate([jnp.ravel(v) for v in in_vals]).astype(
+                jnp.float32)
+            J = jax.jacfwd(g)(x0)
+            if J.shape != (total_in, total_in):
+                raise ValueError(
+                    f"transform Jacobian is {J.shape}, not square "
+                    f"({total_in}); continuous_in/continuous_out must "
+                    "cover the same total dimension")
+            sign, logabs = jnp.linalg.slogdet(J)
+            logdet = logabs
+        return outs, logdet
+
+    def _input_order(self, maps):
+        if "prev" in maps:
+            return ("prev", "fwd")
+        return ("fwd",)
+
+    def _name_outputs(self, outs):
+        if len(outs) == 1:
+            return {"model": outs[0]}
+        return {"model": outs[0], "bwd": outs[1]}
+
+    def apply_extending(self, fwd_choices: ChoiceMap):
+        outs, logdet = self._apply({"fwd": fwd_choices}, 1)
+        return outs[0], logdet
+
+    def apply_updating(self, prev_choices: ChoiceMap, fwd_choices: ChoiceMap):
+        outs, logdet = self._apply(
+            {"prev": prev_choices, "fwd": fwd_choices}, 2)
+        return outs[0], outs[1], logdet
+
+
+# ---------------------------------------------------------------------------
+# Round-trip checking (ref: src/translate.jl:266-272 via Gen.check_round_trip)
+# ---------------------------------------------------------------------------
+
+def _choices_close(a: ChoiceMap, b: ChoiceMap, atol=1e-4):
+    for k, e in a.entries.items():
+        e2 = b.entries.get(k)
+        if e2 is None:
+            return False
+        va, vb = jnp.asarray(e.value), jnp.asarray(e2.value)
+        if va.shape != vb.shape:
+            return False
+        ma = e.mask_array() if e.mask is not True else None
+        diff = jnp.abs(va.astype(jnp.float32) - vb.astype(jnp.float32))
+        ok = diff <= atol
+        if ma is not None:
+            ok = jnp.logical_or(ok, jnp.logical_not(ma))
+        if not bool(jnp.all(ok)):
+            return False
+    return True
+
+
+def check_round_trip(prev_trace: Trace, prev_trace_rt: Trace,
+                     fwd_trace: Trace = None, fwd_trace_rt: Trace = None):
+    """Eager-mode bijection check: the inverse translator must reconstruct
+    the input traces (within tolerance)."""
+    sc = prev_trace.get_score()
+    if isinstance(sc, jax.core.Tracer):
+        return  # cannot compare under tracing; round-trip check is eager-only
+    if not _choices_close(prev_trace.get_choices(), prev_trace_rt.get_choices()):
+        raise ValueError("round-trip check failed: model trace mismatch")
+    if fwd_trace is not None and fwd_trace_rt is not None:
+        if not _choices_close(fwd_trace.get_choices(),
+                              fwd_trace_rt.get_choices()):
+            raise ValueError("round-trip check failed: proposal trace mismatch")
+
+
+# ---------------------------------------------------------------------------
+# ExtendingTraceTranslator (ref: src/translate.jl:33-120)
+# ---------------------------------------------------------------------------
+
+class ExtendingTraceTranslator:
+    def __init__(self, p_new_args=(), p_argdiffs=None,
+                 new_observations: ChoiceMap = EMPTY,
+                 q_forward: GenFn | None = None, q_forward_args=(),
+                 transform: TraceTransform | None = None):
+        self.p_new_args = tuple(p_new_args)
+        self.p_argdiffs = (tuple(p_argdiffs) if p_argdiffs is not None
+                           else tuple(UnknownChange() for _ in self.p_new_args))
+        self.new_observations = new_observations
+        self.q_forward = q_forward
+        self.q_forward_args = tuple(q_forward_args)
+        self.transform = transform
+
+    def replace(self, **kw):
+        vals = dict(p_new_args=self.p_new_args, p_argdiffs=self.p_argdiffs,
+                    new_observations=self.new_observations,
+                    q_forward=self.q_forward,
+                    q_forward_args=self.q_forward_args,
+                    transform=self.transform)
+        vals.update(kw)
+        return ExtendingTraceTranslator(**vals)
+
+    def __call__(self, key, prev_trace: Trace, check: bool = True):
+        """Returns (new_trace, incremental log weight)
+        (ref: src/translate.jl:57-120)."""
+        if self.q_forward is None:
+            # pure-update specialization (ref lines 108-120)
+            new_tr, w, _, discard = gfi_update(
+                key, prev_trace, self.p_new_args, self.p_argdiffs,
+                self.new_observations)
+            _check_no_discard(discard, check)
+            return new_tr, w
+        k1, k2 = jr.split(key)
+        fwd_choices, fwd_score, _ = self.q_forward.propose(
+            k1, (prev_trace,) + self.q_forward_args)
+        logdet = jnp.asarray(0.0, jnp.float32)
+        if self.transform is not None:
+            constraints, logdet = self.transform.apply_extending(fwd_choices)
+        else:
+            constraints = fwd_choices
+        constraints = constraints.merge(self.new_observations)
+        new_tr, score_diff, _, discard = gfi_update(
+            k2, prev_trace, self.p_new_args, self.p_argdiffs, constraints)
+        _check_no_discard(discard, check)
+        return new_tr, score_diff - fwd_score + logdet
+
+
+# ---------------------------------------------------------------------------
+# UpdatingTraceTranslator (ref: src/translate.jl:160-274)
+# ---------------------------------------------------------------------------
+
+class UpdatingTraceTranslator:
+    def __init__(self, p_new_args=(), p_argdiffs=None,
+                 new_observations: ChoiceMap = EMPTY,
+                 q_forward: GenFn = None, q_forward_args=(),
+                 q_backward: GenFn = None, q_backward_args=(),
+                 transform: TraceTransform | None = None):
+        self.p_new_args = tuple(p_new_args)
+        self.p_argdiffs = (tuple(p_argdiffs) if p_argdiffs is not None
+                           else tuple(UnknownChange() for _ in self.p_new_args))
+        self.new_observations = new_observations
+        self.q_forward = q_forward
+        self.q_forward_args = tuple(q_forward_args)
+        self.q_backward = q_backward
+        self.q_backward_args = tuple(q_backward_args)
+        self.transform = transform
+
+    def replace(self, **kw):
+        vals = dict(p_new_args=self.p_new_args, p_argdiffs=self.p_argdiffs,
+                    new_observations=self.new_observations,
+                    q_forward=self.q_forward,
+                    q_forward_args=self.q_forward_args,
+                    q_backward=self.q_backward,
+                    q_backward_args=self.q_backward_args,
+                    transform=self.transform)
+        vals.update(kw)
+        return UpdatingTraceTranslator(**vals)
+
+    def inverse(self, prev_trace: Trace,
+                prev_observations: ChoiceMap = EMPTY):
+        """Swap forward/backward and invert the transform
+        (ref: src/translate.jl:176-189)."""
+        return UpdatingTraceTranslator(
+            p_new_args=prev_trace.get_args(),
+            p_argdiffs=tuple(UnknownChange() for _ in prev_trace.get_args()),
+            new_observations=prev_observations,
+            q_forward=self.q_backward, q_forward_args=self.q_backward_args,
+            q_backward=self.q_forward, q_backward_args=self.q_forward_args,
+            transform=(self.transform.inverse()
+                       if self.transform is not None else None))
+
+    def run_transform(self, key, prev_trace: Trace, fwd_trace: Trace):
+        """(new_model_trace, bwd_trace, log|det J|, model_score_diff)
+        (ref: src/translate.jl:191-229)."""
+        k1, k2 = jr.split(key)
+        if self.transform is None:
+            constraints = fwd_trace.get_choices().merge(self.new_observations)
+            new_tr, score_diff, _, discard = gfi_update(
+                k1, prev_trace, self.p_new_args, self.p_argdiffs, constraints)
+            logdet = jnp.asarray(0.0, jnp.float32)
+            bwd_constraints = discard
+        else:
+            constraints, bwd_constraints, logdet = (
+                self.transform.apply_updating(prev_trace.get_choices(),
+                                              fwd_trace.get_choices()))
+            constraints = constraints.merge(self.new_observations)
+            new_tr, score_diff, _, _ = gfi_update(
+                k1, prev_trace, self.p_new_args, self.p_argdiffs, constraints)
+        bwd_tr, _ = self.q_backward.generate(
+            k2, (new_tr,) + self.q_backward_args, bwd_constraints)
+        return new_tr, bwd_tr, logdet, score_diff
+
+    def __call__(self, key, prev_trace: Trace, check: bool = False,
+                 prev_observations: ChoiceMap = EMPTY):
+        """Returns (new_trace, incremental log weight)
+        (ref: src/translate.jl:248-274)."""
+        k1, k2, k3 = jr.split(key, 3)
+        fwd_trace = self.q_forward.simulate(
+            k1, (prev_trace,) + self.q_forward_args)
+        new_tr, bwd_tr, logdet, score_diff = self.run_transform(
+            k2, prev_trace, fwd_trace)
+        weight = (score_diff + logdet
+                  - fwd_trace.get_score() + bwd_tr.get_score())
+        if check:
+            inverter = self.inverse(prev_trace, prev_observations)
+            prev_rt, fwd_rt, _, _ = inverter.run_transform(
+                k3, new_tr, bwd_tr)
+            check_round_trip(prev_trace, prev_rt, fwd_trace, fwd_rt)
+        return new_tr, weight
+
+
+def _check_no_discard(discard: ChoiceMap, check: bool):
+    """Reference errors when an update discards choices
+    (src/update.jl:18-20, src/translate.jl:77-79). Eager-mode raise; under
+    jit the mask is traced and the check is skipped (documented)."""
+    if not check or discard.is_empty():
+        return
+    any_disc = discard.total_mask_any()
+    if not isinstance(any_disc, jax.core.Tracer):
+        if bool(any_disc):
+            raise ValueError(
+                "Choices were updated or deleted during pf_update; pass "
+                "check=False to allow replacing previous observations.")
+
+
+# -- pytree registrations ---------------------------------------------------
+
+def _ett_flatten(t):
+    return ((t.p_new_args, t.new_observations, t.q_forward_args),
+            (t.p_argdiffs, t.q_forward, t.transform))
+
+
+def _ett_unflatten(aux, children):
+    p_argdiffs, q_forward, transform = aux
+    p_new_args, new_observations, q_forward_args = children
+    return ExtendingTraceTranslator(
+        p_new_args=p_new_args, p_argdiffs=p_argdiffs,
+        new_observations=new_observations, q_forward=q_forward,
+        q_forward_args=q_forward_args, transform=transform)
+
+
+jax.tree_util.register_pytree_node(
+    ExtendingTraceTranslator, _ett_flatten, _ett_unflatten)
+
+
+def _utt_flatten(t):
+    return ((t.p_new_args, t.new_observations, t.q_forward_args,
+             t.q_backward_args),
+            (t.p_argdiffs, t.q_forward, t.q_backward, t.transform))
+
+
+def _utt_unflatten(aux, children):
+    p_argdiffs, q_forward, q_backward, transform = aux
+    p_new_args, new_observations, q_forward_args, q_backward_args = children
+    return UpdatingTraceTranslator(
+        p_new_args=p_new_args, p_argdiffs=p_argdiffs,
+        new_observations=new_observations,
+        q_forward=q_forward, q_forward_args=q_forward_args,
+        q_backward=q_backward, q_backward_args=q_backward_args,
+        transform=transform)
+
+
+jax.tree_util.register_pytree_node(
+    UpdatingTraceTranslator, _utt_flatten, _utt_unflatten)
