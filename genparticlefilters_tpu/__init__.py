@@ -8,7 +8,12 @@ multi-chip scaling uses ``jax.sharding`` meshes with shard-local resampling
 plus ICI collectives.
 """
 
+from . import core as _core
+from . import smc as _smc
+
 from .core import *  # noqa: F401,F403
 from .smc import *  # noqa: F401,F403
+
+__all__ = _core.__all__ + _smc.__all__
 
 __version__ = "0.1.0"

@@ -185,9 +185,18 @@ def trace(addr, dist_or_gf, args=None):
             "trace() called outside of a generative-function interpreter; "
             "models must be run via simulate/generate/assess/update/etc.")
     h = _HANDLER_STACK[-1]
+    from .choicemap import normalize_address
+    key = normalize_address(addr)
     if isinstance(dist_or_gf, Distribution):
-        return h.dist_site(addr, dist_or_gf)
-    return h.call_site(addr, dist_or_gf, tuple(args) if args is not None else ())
+        return h.dist_site(key, dist_or_gf)
+    return h.call_site(key, dist_or_gf, tuple(args) if args is not None else ())
+
+
+def _scope_path(cm_or_sel, path):
+    out = cm_or_sel
+    for comp in path:
+        out = out.scope(comp)
+    return out
 
 
 def _masked_sum(lp, m):
@@ -290,7 +299,7 @@ class _GenerateHandler(_Handler):
         self.weight = jnp.asarray(0.0, jnp.float32)
 
     def dist_site(self, addr, dist):
-        e = self.constraints.entries.get((addr,))
+        e = self.constraints.resolve(addr)
         if e is None:
             v = dist.sample(self.fresh_key())
             self.record(addr, v, dist.log_prob(v))
@@ -312,7 +321,7 @@ class _GenerateHandler(_Handler):
 
     def call_site(self, addr, gf, args):
         sub, w = gf.generate(self.fresh_key(), args,
-                             self.constraints.scope(addr))
+                             _scope_path(self.constraints, addr))
         self.weight = self.weight + w
         self.record_sub(addr, sub)
         return sub.retval
@@ -324,7 +333,7 @@ class _AssessHandler(_Handler):
         self.choices = choices
 
     def dist_site(self, addr, dist):
-        e = self.choices.entries.get((addr,))
+        e = self.choices.resolve(addr)
         if e is None:
             raise ValueError(f"assess: missing choice at address {addr!r}")
         v = jnp.asarray(e.value)
@@ -332,7 +341,7 @@ class _AssessHandler(_Handler):
         return v
 
     def call_site(self, addr, gf, args):
-        retval, score = gf.assess(args, self.choices.scope(addr))
+        retval, score = gf.assess(args, _scope_path(self.choices, addr))
         # record as a pseudo-site score for completeness
         self.score = self.score + score
         return retval
@@ -348,7 +357,7 @@ class _UpdateHandler(_Handler):
         self.discard: Dict[Tuple, Entry] = {}
 
     def dist_site(self, addr, dist):
-        e = self.constraints.entries.get((addr,))
+        e = self.constraints.resolve(addr)
         old = self.old_sites.get(addr)
         sampled = dist.sample(self.fresh_key())
         shape = jnp.shape(sampled)
@@ -371,7 +380,7 @@ class _UpdateHandler(_Handler):
             self.logq = self.logq + _masked_sum(lp, fresh)
         overwritten = _and_masks(mc, mo)
         if overwritten is not False and old is not None:
-            self.discard[(addr,)] = Entry(old.value, overwritten)
+            self.discard[addr] = Entry(old.value, overwritten)
         self.record(addr, v, lp)
         return v
 
@@ -379,16 +388,16 @@ class _UpdateHandler(_Handler):
         old_sub = self.old_subs.get(addr)
         if old_sub is None:
             sub, w = gf.generate(self.fresh_key(), args,
-                                 self.constraints.scope(addr))
+                                 _scope_path(self.constraints, addr))
             # fresh sub-call: everything unconstrained was freshly sampled
             self.logq = self.logq + (sub.score - w)
             self.record_sub(addr, sub)
             return sub.retval
         sub, logq, disc = gf._update(self.fresh_key(), old_sub, args,
-                                     self.constraints.scope(addr))
+                                     _scope_path(self.constraints, addr))
         self.logq = self.logq + logq
         for k, v in disc.entries.items():
-            self.discard[(addr,) + k] = v
+            self.discard[addr + k] = v
         self.record_sub(addr, sub)
         return sub.retval
 
@@ -405,7 +414,7 @@ class _RegenerateHandler(_Handler):
 
     def dist_site(self, addr, dist):
         old = self.old_sites.get(addr)
-        sel = self.selection.scope(addr).mask_at_leaf()
+        sel = _scope_path(self.selection, addr).mask_at_leaf()
         sampled = dist.sample(self.fresh_key())
         shape = jnp.shape(sampled)
         if old is None:
@@ -445,7 +454,7 @@ class _RegenerateHandler(_Handler):
             self.record_sub(addr, sub)
             return sub.retval
         sub, sn, so = gf._regenerate(self.fresh_key(), old_sub, args,
-                                     self.selection.scope(addr))
+                                     _scope_path(self.selection, addr))
         self.sel_new = self.sel_new + sn
         self.sel_old = self.sel_old + so
         self.record_sub(addr, sub)
@@ -513,10 +522,10 @@ class DynamicGenFn(GenFn):
     def trace_choices(self, tr: Trace) -> ChoiceMap:
         out: Dict[Tuple, Entry] = {}
         for addr, e in tr.inner["sites"].items():
-            out[(addr,)] = e
+            out[addr] = e
         for addr, sub in tr.inner["subs"].items():
             for k, v in sub.get_choices().entries.items():
-                out[(addr,) + k] = v
+                out[addr + k] = v
         return ChoiceMap(out)
 
     def mask_trace(self, tr: Trace, m) -> Trace:

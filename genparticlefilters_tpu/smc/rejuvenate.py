@@ -84,7 +84,7 @@ def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
         fwd_choices, fwd_score, _ = proposal.propose(k1, (trace,) + p_args)
         new_tr, w_upd, _, discard = trace.gen_fn.update(
             k2, trace, args, _nochange(args), fwd_choices)
-        bwd_score, _ = proposal.assess((new_tr,) + p_args, discard)
+        _, bwd_score = proposal.assess((new_tr,) + p_args, discard)
         w = w_upd - fwd_score + bwd_score
     accept = jnp.log(jr.uniform(k3, (), jnp.float32)) < w
     out = _tree_select(accept, new_tr, trace)
@@ -121,13 +121,13 @@ def move_reweight(key, trace: Trace, selection_or_proposal,
     if involution is None:
         new_tr, w, _, discard = trace.gen_fn.update(
             k2, trace, args, _nochange(args), fwd_choices)
-        bwd_score, _ = proposal.assess((new_tr,) + p_args, discard)
+        _, bwd_score = proposal.assess((new_tr,) + p_args, discard)
     else:
         new_tr, bwd_choices, w = involution(trace, fwd_choices, fwd_ret,
                                             p_args)
         scorer = bwd_proposal if bwd_proposal is not None else proposal
         s_args = tuple(bwd_args or ()) if bwd_proposal is not None else p_args
-        bwd_score, _ = scorer.assess((new_tr,) + s_args, bwd_choices)
+        _, bwd_score = scorer.assess((new_tr,) + s_args, bwd_choices)
     if check:
         check_observations(new_tr.get_choices(), observations)
     return new_tr, w - fwd_score + bwd_score

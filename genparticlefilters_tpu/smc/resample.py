@@ -142,9 +142,10 @@ def _resample_impl(key, state, parent_fn, priority_fn, check):
     if is_sub:
         new_lw = _new_weights_sub(n, log_weights, log_priorities, parents,
                                   custom)
-        # sub-states never touch the global LML (ref: src/resample.jl:185-187)
+        # sub-states never touch the global LML (ref: src/resample.jl:185-187);
+        # record parents as global indices so full-state ancestry holds
         src = state.scatter(traces=new_traces, log_weights=new_lw,
-                            parents=parents)
+                            parents=state.idxs[parents])
         return src
     # fold LML before resampling (ref: src/resample.jl:178-182)
     new_lml = state.log_ml_est + logsumexp(log_weights) - jnp.log(float(n))

@@ -1,0 +1,113 @@
+"""Core GFI unit tests: exact weights for simulate/generate/update/
+regenerate on the line fixture (spec: Gen GFI contract, SURVEY.md §1 L0)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+import genparticlefilters_tpu as g
+from fixtures import line_model, lp_normal, lp_bern
+
+
+def test_generate_weight_exact():
+    obs = g.choicemap((("line", 0, "y"), 0.0), (("line", 1, "y"), 0.0),
+                      ("slope", 0))
+    tr, w = line_model.generate(jr.key(1), (2,), obs)
+    outl = np.asarray(tr.get_choices()[("line", "outlier")])
+    expected = math.log(1 / 5)
+    for t in range(2):
+        s = 10.0 if outl[t] else 1.0
+        expected += lp_normal(0.0, 0.0, s)
+    np.testing.assert_allclose(float(w), expected, atol=1e-4)
+
+
+def test_update_extension_weight_exact():
+    obs = g.choicemap((("line", 0, "y"), 0.0), ("slope", 0))
+    tr, _ = line_model.generate(jr.key(1), (1,), obs)
+    obs2 = g.choicemap((("line", 1, "y"), 0.5))
+    tr2, w, _, disc = g.update(jr.key(2), tr, (2,), (g.UnknownChange(),), obs2)
+    assert not bool(disc.total_mask_any())
+    outl = bool(np.asarray(tr2.get_choices()[("line", 1, "outlier")]))
+    s = 10.0 if outl else 1.0
+    np.testing.assert_allclose(float(w), lp_normal(0.5, 0.0, s), atol=1e-4)
+    # score additivity: new score = old + new-step sites
+    d = float(tr2.score - tr.score)
+    expected_d = lp_bern(outl, 0.1) + lp_normal(0.5, 0.0, s)
+    np.testing.assert_allclose(d, expected_d, atol=1e-4)
+
+
+def test_update_overwrite_discard():
+    obs = g.choicemap((("line", 0, "y"), 0.0), ("slope", 0))
+    tr, _ = line_model.generate(jr.key(1), (1,), obs)
+    # overwrite the y at step 0 -> discard must contain the old value
+    obs2 = g.choicemap((("line", 0, "y"), 3.0))
+    tr2, w, _, disc = g.update(jr.key(2), tr, (1,), (g.UnknownChange(),), obs2)
+    assert bool(disc.total_mask_any())
+    e = disc.resolve(("line", 0, "y"))
+    assert e is not None
+    np.testing.assert_allclose(float(np.asarray(e.value)), 0.0, atol=1e-6)
+    outl = bool(np.asarray(tr2.get_choices()[("line", 0, "outlier")]))
+    s = 10.0 if outl else 1.0
+    np.testing.assert_allclose(
+        float(w), lp_normal(3.0, 0.0, s) - lp_normal(0.0, 0.0, s), atol=1e-4)
+
+
+def test_update_shrink_discards_steps():
+    obs = g.choicemap((("line", 0, "y"), 0.0), (("line", 1, "y"), 1.0),
+                      ("slope", 0))
+    tr, _ = line_model.generate(jr.key(1), (2,), obs)
+    tr2, w, _, disc = g.update(jr.key(2), tr, (1,), (g.UnknownChange(),),
+                               g.EMPTY)
+    e = disc.resolve(("line", 1, "y"))
+    assert e is not None and bool(np.asarray(e.mask))
+    np.testing.assert_allclose(float(np.asarray(e.value)), 1.0, atol=1e-6)
+    # step-0 entries not discarded
+    e0 = disc.resolve(("line", 0, "y"))
+    assert not bool(np.asarray(e0.mask))
+
+
+def test_regenerate_weight_exact():
+    """Regenerating slope: weight = Σ_y [lp(y|new slope) − lp(y|old slope)]."""
+    obs = g.choicemap((("line", 0, "y"), 1.0), (("line", 1, "y"), 2.0))
+    tr, _ = line_model.generate(jr.key(3), (2,), obs)
+    old_slope = float(np.asarray(tr["slope"]))
+    outl = np.asarray(tr.get_choices()[("line", "outlier")])
+    for i in range(20):
+        tr2, w = g.regenerate(jr.key(i), tr, (2,), (g.NoChange(),),
+                              g.select("slope"))
+        new_slope = float(np.asarray(tr2["slope"]))
+        expected = 0.0
+        for t, y in enumerate([1.0, 2.0]):
+            s = 10.0 if outl[t] else 1.0
+            x = t + 1.0
+            expected += (lp_normal(y, x * new_slope, s)
+                         - lp_normal(y, x * old_slope, s))
+        np.testing.assert_allclose(float(w), expected, atol=1e-4)
+
+
+def test_assess_matches_score():
+    tr = line_model.simulate(jr.key(5), (3,))
+    choices = tr.get_choices()
+    _, score = line_model.assess((3,), choices)
+    np.testing.assert_allclose(float(score), float(tr.score), atol=1e-4)
+
+
+def test_propose_consistency():
+    choices, score, _ = line_model.propose(jr.key(6), (2,))
+    _, score2 = line_model.assess((2,), choices)
+    np.testing.assert_allclose(float(score), float(score2), atol=1e-4)
+
+
+def test_vmap_jit_composition():
+    obs = g.choicemap((("line", 0, "y"), 0.0))
+
+    @jax.jit
+    def batch_gen(keys):
+        return jax.vmap(lambda k: line_model.generate(k, (1,), obs))(keys)
+
+    trs, ws = batch_gen(jr.split(jr.key(0), 32))
+    assert ws.shape == (32,)
+    assert trs.score.shape == (32,)

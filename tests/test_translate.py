@@ -1,0 +1,127 @@
+"""Trace translator tests (mirror of /root/reference/test/translate.jl),
+including AD-Jacobian corrections standing in for Gen's transform DSL."""
+
+import math
+
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+import genparticlefilters_tpu as g
+from fixtures import lp_normal, lp_bern
+
+
+@g.gen
+def xy_model(T):
+    # addresses (:x,t), (:y,t) (ref: test/translate.jl:3-8); T static
+    for t in range(1, T + 1):
+        x = g.trace(("x", t), g.normal(0.0, 1.0))
+        g.trace(("y", t), g.normal(x, 1.0))
+
+
+def test_extending_no_proposal():
+    # ref: test/translate.jl:10-27 — weight = logpdf(y | x, 1)
+    translator = g.ExtendingTraceTranslator(
+        p_new_args=(1,), new_observations=g.choicemap(((("y", 1)), 0.0)))
+    tr, _ = xy_model.generate(jr.key(0), (0,))
+    for i in range(10):
+        new_tr, w = translator(jr.key(i + 1), tr, check=True)
+        x = float(np.asarray(new_tr[("x", 1)]))
+        y = float(np.asarray(new_tr[("y", 1)]))
+        assert y == 0.0
+        np.testing.assert_allclose(float(w), lp_normal(y, x, 1.0), atol=1e-4)
+
+
+def test_extending_custom_proposal():
+    # ref: test/translate.jl:29-53
+    @g.gen
+    def proposal(tr, t):
+        g.trace(("x", t), g.normal(0.0, 2.0))
+
+    translator = g.ExtendingTraceTranslator(
+        p_new_args=(1,), new_observations=g.choicemap(((("y", 1)), 0.0)),
+        q_forward=proposal, q_forward_args=(1,))
+    tr, _ = xy_model.generate(jr.key(0), (0,))
+    for i in range(10):
+        new_tr, w = translator(jr.key(i + 1), tr, check=True)
+        x = float(np.asarray(new_tr[("x", 1)]))
+        y = float(np.asarray(new_tr[("y", 1)]))
+        expected = (lp_normal(y, x, 1.0) + lp_normal(x, 0, 1.0)
+                    - lp_normal(x, 0, 2.0))
+        np.testing.assert_allclose(float(w), expected, atol=1e-4)
+
+
+def test_extending_with_transform_jacobian():
+    # ref: test/translate.jl:55-86 — x_model = 2·x_prop; AD must produce
+    # log|det J| = log 2 so the weight matches the N(0,2) pushforward
+    @g.gen
+    def proposal(tr, t):
+        g.trace("x", g.normal(0.0, 1.0))
+
+    transform = g.TraceTransform(
+        lambda fwd: g.choicemap((("x", 1), 2.0 * fwd["x"])),
+        continuous_in=[("fwd", "x")],
+        continuous_out=[("model", ("x", 1))])
+
+    translator = g.ExtendingTraceTranslator(
+        p_new_args=(1,), new_observations=g.choicemap(((("y", 1)), 0.0)),
+        q_forward=proposal, q_forward_args=(1,), transform=transform)
+    tr, _ = xy_model.generate(jr.key(0), (0,))
+    for i in range(10):
+        new_tr, w = translator(jr.key(i + 1), tr, check=True)
+        x = float(np.asarray(new_tr[("x", 1)]))
+        y = float(np.asarray(new_tr[("y", 1)]))
+        expected = (lp_normal(y, x, 1.0) + lp_normal(x, 0, 1.0)
+                    - lp_normal(x, 0, 2.0))
+        np.testing.assert_allclose(float(w), expected, atol=1e-4)
+
+
+def test_updating_translator_smcp3():
+    # ref: test/translate.jl:89-139 — SMCP³ with auxiliary randomness and
+    # a 2x rescaling bijection, incl. round-trip check
+    @g.gen
+    def fwd_kernel(tr):
+        g.trace("u", g.bernoulli(0.25))
+        g.trace("x", g.normal(0.0, 1.0))
+
+    @g.gen
+    def bwd_kernel(tr):
+        g.trace("u", g.bernoulli(0.75))
+
+    def fwd_fn(prev, fwd):
+        constraints = g.choicemap((("x", 1), 2.0 * fwd["x"]))
+        bwd = g.choicemap(("u", fwd["u"]))
+        return constraints, bwd
+
+    def bwd_fn(prev, fwd):
+        # roles swapped: prev = new model trace choices, fwd = bwd kernel
+        constraints = g.EMPTY
+        fwd_rec = g.choicemap(("u", fwd["u"]), ("x", prev[("x", 1)] * 0.5))
+        return constraints, fwd_rec
+
+    transform = g.TraceTransform(
+        fwd_fn,
+        continuous_in=[("fwd", "x")],
+        continuous_out=[("model", ("x", 1))],
+        inverse_fn=bwd_fn,
+        inverse_continuous_in=[("prev", ("x", 1))],
+        inverse_continuous_out=[("bwd", "x")])
+
+    translator = g.UpdatingTraceTranslator(
+        p_new_args=(1,), new_observations=g.choicemap(((("y", 1)), 0.0)),
+        q_forward=fwd_kernel, q_backward=bwd_kernel, transform=transform)
+
+    tr, _ = xy_model.generate(jr.key(0), (0,))
+    for i in range(10):
+        new_tr, w = translator(jr.key(i + 1), tr, check=True)
+        x = float(np.asarray(new_tr[("x", 1)]))
+        y = float(np.asarray(new_tr[("y", 1)]))
+        # fwd x-score + Jacobian collapse to the N(0,2) pushforward; the
+        # auxiliary u contributes ±(log .75 − log .25)
+        base = (lp_normal(y, x, 1.0) + lp_normal(x, 0, 1.0)
+                - lp_normal(x, 0, 2.0))
+        e1 = base + math.log(0.25) - math.log(0.75)
+        e2 = base + math.log(0.75) - math.log(0.25)
+        ok1 = abs(float(w) - e1) < 1e-3
+        ok2 = abs(float(w) - e2) < 1e-3
+        assert ok1 or ok2, (float(w), e1, e2)
