@@ -82,24 +82,35 @@ def pf_residual_resize(key, state, n_particles: int, priority_fn=None,
                         priority_fn, check)
 
 
-def find_inv_w_threshold(weights, n_particles: int):
-    """Inverse-weight threshold c for optimal resizing
-    (ref: src/resize.jl:203-219): the unique c with
-    ``Σ min(1, c·wᵢ) = n_particles``.
+def _log_inv_w_threshold(log_weights, n_particles: int):
+    """log c for optimal resizing (ref: src/resize.jl:203-219): the unique
+    c with ``Σ min(1, c·wᵢ) = n_particles``.
 
-    Vectorized: over ascending sorted weights, A_i = #{w > w_i},
-    B_i = Σ_{w ≤ w_i} w; the first i with B_i/w_i + A_i ≤ M gives
-    c = (M − A_i)/B_i.
+    Entirely in log space so the tail of a peaked weight vector (which
+    underflows a global f32 softmax) keeps full relative precision.
+    Over ascending sorted normalized log-weights ℓ_i: A_i = #{ℓ > ℓ_i},
+    log B_i = logsumexp(ℓ_{≤i}); the first i with exp(logB_i − ℓ_i) + A_i
+    ≤ M gives log c = log(M − A_i) − log B_i.
     """
-    n = weights.shape[0]
-    ws = jnp.sort(weights)
-    B = jnp.cumsum(ws)
-    A = jnp.arange(n - 1, -1, -1, dtype=weights.dtype)
-    n_check = B / jnp.maximum(ws, 1e-37) + A
-    ok = n_check <= (n_particles + 1e-6 * jnp.abs(n_check))
-    first = jnp.argmax(ok)  # first True (0 if none, guarded below)
-    c = (n_particles - A[first]) / jnp.maximum(B[first], 1e-37)
-    return jnp.where(jnp.any(ok), c, float(n_particles))
+    from jax import lax
+    n = log_weights.shape[0]
+    lwn = log_weights - logsumexp(log_weights)
+    ls = jnp.sort(lwn)
+    logB = lax.associative_scan(jnp.logaddexp, ls)
+    A = jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+    ratio = jnp.exp(logB - ls)  # ≥ 1; inf for -inf tail entries (skipped)
+    n_check = jnp.where(jnp.isfinite(ls), ratio + A, jnp.inf)
+    ok = n_check <= n_particles * (1.0 + 1e-5)
+    first = jnp.argmax(ok)
+    log_c = jnp.log(jnp.maximum(n_particles - A[first], 1e-37)) - logB[first]
+    return jnp.where(jnp.any(ok), log_c, jnp.log(float(n_particles)))
+
+
+def find_inv_w_threshold(weights, n_particles: int):
+    """Inverse-weight threshold c (reference-parity wrapper over the
+    log-space core; ref: src/resize.jl:203-219)."""
+    return jnp.exp(_log_inv_w_threshold(
+        jnp.log(jnp.maximum(weights, 1e-37)), n_particles))
 
 
 def pf_optimal_resize(key, state, n_particles: int, check="warn"):
@@ -111,14 +122,21 @@ def pf_optimal_resize(key, state, n_particles: int, check="warn"):
     assert m <= n_old, "optimal resize cannot grow the particle count"
     weights, invalid = safe_softmax(state.log_weights)
     apply_check(invalid, check)
-    c = find_inv_w_threshold(weights, m)
-    keep = c * weights >= 1.0
+    lwn = state.log_weights - logsumexp(state.log_weights)
+    log_c = _log_inv_w_threshold(state.log_weights, m)
+    c = jnp.exp(log_c)
+    keep = (log_c + lwn) >= 0.0
 
     n_keep = jnp.sum(keep.astype(jnp.int32))
-    # stratified stream over non-kept particles with exactly m - n_keep picks
-    strat_w = jnp.where(keep, 0.0, weights)
-    strat_total = jnp.sum(strat_w)
-    p = strat_w / jnp.maximum(strat_total, 1e-37)
+    # stratified stream over non-kept particles with exactly m - n_keep
+    # picks; renormalize the subset in LOG space (as the reference's
+    # safe_softmax(log_weights[strat_idxs]) does, src/resize.jl:166-167) so
+    # tail weights that underflowed globally keep relative precision
+    lw_strat = jnp.where(keep, -jnp.inf, state.log_weights)
+    mstrat = jnp.max(lw_strat)
+    mstrat = jnp.where(jnp.isfinite(mstrat), mstrat, 0.0)
+    es = jnp.where(keep, 0.0, jnp.exp(lw_strat - mstrat))
+    p = es / jnp.maximum(jnp.sum(es), 1e-37)
     cum = jnp.cumsum(p)
     n_res = (m - n_keep).astype(jnp.float32)
     step = 1.0 / jnp.maximum(n_res, 1.0)
@@ -139,7 +157,7 @@ def pf_optimal_resize(key, state, n_particles: int, check="warn"):
     log_n_ratio = jnp.log(float(m)) - jnp.log(float(n_old))
     log_tot = logsumexp(state.log_weights)
     kept_lw = state.log_weights + log_n_ratio
-    res_lw = log_tot - jnp.log(c) + log_n_ratio
+    res_lw = log_tot - log_c + log_n_ratio
     lw_src = jnp.where(keep, kept_lw, res_lw)
     new_lw = jnp.zeros((m,), state.log_weights.dtype).at[pos].set(
         lw_src, mode="drop")
@@ -224,8 +242,15 @@ def pf_dereplicate(key, state, n_replicates: int, layout: str = "contiguous",
 
 def _coalesce_key_matrix(state, by):
     if by is None:
-        leaves = [jnp.asarray(e.value) for _, e in sorted(
-            state.traces.get_choices().entries.items(), key=lambda kv: repr(kv[0]))]
+        # masked (absent) values are zeroed so only *present* choices
+        # distinguish particles (Gen's choicemap equality semantics)
+        leaves = []
+        for _, e in sorted(state.traces.get_choices().entries.items(),
+                           key=lambda kv: repr(kv[0])):
+            v = jnp.asarray(e.value)
+            if e.mask is not True:
+                v = jnp.where(e.mask_array(), v, jnp.zeros_like(v))
+            leaves.append(v)
     else:
         out = by(state.traces)
         leaves = [jnp.asarray(l) for l in jax.tree_util.tree_leaves(out)]

@@ -68,10 +68,19 @@ def test_optimal_resize():
         old = g.pf_initialize(jr.key(0), line_model, (10,),
                               line_choicemap(10), 100)
         old_lml = float(g.log_ml_estimate(old))
-        w = np.asarray(g.get_norm_weights(old), np.float64)
-        thresh = float(find_inv_w_threshold(jnp.asarray(w, jnp.float32),
-                                            n_new))
-        keep_idxs = np.where(thresh * w >= 1)[0]
+        # reference threshold loop, in f64 log space to avoid underflow
+        lw = np.asarray(old.log_weights, np.float64)
+        w = np.exp(lw - lw.max())
+        w /= w.sum()
+        ws = np.sort(w)
+        A, B, thresh = len(ws), 0.0, float(n_new)
+        for kappa in ws:
+            A -= 1
+            B += kappa
+            if kappa > 0 and B / kappa + A <= n_new + 1e-9:
+                thresh = (n_new - A) / B
+                break
+        keep_idxs = np.where(thresh * w >= 1 - 1e-6)[0]
         n_keep = len(keep_idxs)
         log_ratio = math.log(n_new) - math.log(100)
         new = g.pf_resize(jr.key(1), old, n_new, "optimal")
