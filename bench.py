@@ -1,0 +1,148 @@
+"""Benchmark: particle-updates/sec/chip at 100K particles (BASELINE.json
+metric) on the README object-motion switching SSM (config 1 scaled up).
+
+Measures the full jitted SMC filter — per-step trace-extension update +
+ESS-triggered residual resampling + MH rejuvenation — end to end on the
+default JAX device (TPU when present), and compares against a faithful
+vectorized NumPy implementation of the same filter on the host CPU
+(a favorable stand-in for the reference's serial per-particle Julia loops,
+which it strictly upper-bounds).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import math
+import sys
+import time
+
+N = 100_000
+T = 10
+SEED = 7
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# NumPy baseline: same model, same algorithm, vectorized on host CPU
+# ---------------------------------------------------------------------------
+
+def numpy_filter(y_obs, n, rng):
+    import numpy as np
+
+    def lpnorm(x, mu, s):
+        return -0.5 * ((x - mu) / s) ** 2 - math.log(s) \
+            - 0.5 * math.log(2 * math.pi)
+
+    t_total = len(y_obs)
+    moving = np.zeros((n, t_total), dtype=bool)
+    y = np.zeros((n, t_total), dtype=np.float64)
+    lw = np.zeros(n)
+
+    def sim_step(t, prev_m, prev_y):
+        p = np.where(prev_m, 0.75, 0.25)
+        m = rng.random(n) < p
+        vel = np.where(m, math.sin(t + 1), 0.0)
+        yy = prev_y + vel + 0.01 * rng.standard_normal(n)
+        return m, yy
+
+    m0, y0 = sim_step(0, np.zeros(n, bool), np.zeros(n))
+    moving[:, 0], y[:, 0] = m0, y0
+    lw += lpnorm(y_obs[0], y0, 0.25)
+
+    for t in range(1, t_total):
+        # ESS check
+        w = np.exp(lw - lw.max())
+        w /= w.sum()
+        ess = 1.0 / np.sum(w ** 2)
+        if ess < 0.5 * n:
+            # residual resample
+            counts = np.floor(n * w).astype(int)
+            idx = np.repeat(np.arange(n), counts)
+            n_rest = n - len(idx)
+            r = n * w - np.floor(n * w)
+            r /= r.sum()
+            rest = rng.choice(n, size=n_rest, p=r)
+            parents = np.concatenate([idx, rest])
+            moving, y = moving[parents], y[parents]
+            lw = np.zeros(n)
+            # MH rejuvenation on (moving, y) at t-1 (vectorized regenerate)
+            tm1 = t - 1
+            prev_m = moving[:, tm1 - 1] if tm1 > 0 else np.zeros(n, bool)
+            prev_y = y[:, tm1 - 1] if tm1 > 0 else np.zeros(n)
+            new_m, new_y = sim_step(tm1, prev_m, prev_y)
+            d = lpnorm(y_obs[tm1], new_y, 0.25) - lpnorm(
+                y_obs[tm1], y[:, tm1], 0.25)
+            accept = np.log(rng.random(n)) < d
+            moving[accept, tm1] = new_m[accept]
+            y[accept, tm1] = new_y[accept]
+        # propagate + reweight
+        m, yy = sim_step(t, moving[:, t - 1], y[:, t - 1])
+        moving[:, t], y[:, t] = m, yy
+        lw += lpnorm(y_obs[t], yy, 0.25)
+    return lw
+
+
+def main():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from genparticlefilters_tpu.models.object_motion import (
+        object_motion_filter, synthesize_data)
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    y_obs, _ = synthesize_data(jr.key(42), T, 5)
+
+    # warmup / compile (first host fetch forces full completion; over the
+    # axon tunnel block_until_ready does not truly synchronize, so all
+    # timings end with an explicit host fetch of the final result)
+    t0 = time.time()
+    st = object_motion_filter(jr.key(SEED), y_obs, N, T)
+    _ = np.asarray(st.log_ml_est)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    def run_k(k, base):
+        t0 = time.time()
+        for i in range(k):
+            st = object_motion_filter(jr.key(base + i), y_obs, N, T)
+        _ = float(np.asarray(st.log_ml_est))  # device executes in order
+        return time.time() - t0
+
+    # difference two batch sizes to cancel the fixed dispatch+fetch latency
+    e1 = run_k(1, 1000)
+    e2 = run_k(21, 2000)
+    per_run = (e2 - e1) / 20
+    ups = N * T / per_run
+    log(f"framework: per-run {per_run*1e3:.1f}ms -> "
+        f"{ups:,.0f} particle-updates/s")
+
+    # NumPy CPU baseline (1 run is enough; it is deterministic in cost)
+    yo = np.asarray(y_obs, np.float64)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    numpy_filter(yo, N, rng)
+    base_elapsed = time.time() - t0
+    base_ups = N * T / base_elapsed
+    log(f"numpy baseline: {base_elapsed:.3f}s -> "
+        f"{base_ups:,.0f} particle-updates/s")
+
+    print(json.dumps({
+        "metric": "particle-updates/sec/chip, object-motion SSM, "
+                  "100K particles, T=10, ESS-triggered residual resampling "
+                  "+ MH rejuvenation",
+        "value": round(ups, 1),
+        "unit": "particle-updates/s",
+        "vs_baseline": round(ups / base_ups, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

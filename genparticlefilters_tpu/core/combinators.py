@@ -238,7 +238,20 @@ class Unfold(GenFn):
         score = jnp.sum(jnp.where(active, ss, 0.0))
         return states, score
 
-    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap):
+    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap,
+                argdiffs=None):
+        # incremental extension fast path: argdiffs = (Extend(k), NoChange...)
+        # promises t_new = t_old + k with params/state0 unchanged and
+        # constraints only on the new steps -> compute just k steps instead
+        # of re-scanning all max_steps (the TPU analogue of Gen's
+        # incremental Unfold update, /root/reference/src/update.jl:16-17)
+        from .gfi import Extend, NoChange
+        if (argdiffs is not None and len(argdiffs) >= 1
+                and isinstance(argdiffs[0], Extend)
+                and all(isinstance(d, NoChange) for d in argdiffs[1:])
+                and tr.inner["outer_mask"] is True):
+            return self._update_extend(key, tr, new_args, constraints,
+                                       argdiffs[0].k)
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
         outer_mask = tr.inner["outer_mask"]
@@ -285,6 +298,56 @@ class Unfold(GenFn):
         # adjust logq: caller computes weight = new.score - old.score - logq,
         # where old.score was computed with the *old* masks. Consistent.
         return new_tr, logq, discard
+
+    def _update_extend(self, key, tr: Trace, new_args,
+                       constraints: ChoiceMap, k: int):
+        """O(k) trace extension: run only the k newly activated steps and
+        write them into the stacked step traces at dynamic indices."""
+        t_new, state0, params = self._split_args(new_args)
+        t_old = tr.inner["t"]
+        old_steps = tr.inner["steps"]
+        dense = self._slice_cm(self._densify(constraints))
+
+        # carry state entering step t_old (stored stacked retval at t_old-1)
+        idx_prev = jnp.maximum(t_old - 1, 0)
+        prev_state = jax.tree_util.tree_map(
+            lambda l: jax.lax.dynamic_index_in_dim(l, idx_prev, keepdims=False),
+            tr.retval)
+        state = _tree_where(t_old > 0, prev_state, state0)
+
+        steps = old_steps
+        retvals = tr.retval
+        score_add = jnp.asarray(0.0, jnp.float32)
+        logq = jnp.asarray(0.0, jnp.float32)
+        proto = self.step.mask_trace(
+            jax.tree_util.tree_map(
+                lambda l: jax.lax.dynamic_index_in_dim(l, idx_prev,
+                                                       keepdims=False),
+                old_steps),
+            False)  # structurally identical step trace, masked fully absent
+        for j in range(int(k)):
+            t = t_old + j
+            step_c = jax.tree_util.tree_map(
+                lambda l: jax.lax.dynamic_index_in_dim(l, t, keepdims=False),
+                dense)
+            kj = jr.fold_in(key, t)
+            new_step, logq_t, _ = self.step._update(
+                kj, proto, (t, state) + params, step_c)
+            state = new_step.retval
+            steps = jax.tree_util.tree_map(
+                lambda stk, s: jax.lax.dynamic_update_index_in_dim(
+                    stk, jnp.asarray(s, stk.dtype), t, 0),
+                steps, new_step)
+            retvals = jax.tree_util.tree_map(
+                lambda stk, s: jax.lax.dynamic_update_index_in_dim(
+                    stk, jnp.asarray(s, stk.dtype), t, 0),
+                retvals, state)
+            score_add = score_add + new_step.score
+            logq = logq + logq_t
+
+        inner = {"steps": steps, "t": t_new, "outer_mask": True}
+        new_tr = Trace(self, new_args, retvals, tr.score + score_add, inner)
+        return new_tr, logq, ChoiceMap({})
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection):
         t_new, state0, params = self._split_args(new_args)
@@ -395,7 +458,8 @@ class MapCombinator(GenFn):
             in_axes=(0,) + axes)(choices, *vargs)
         return retvals, jnp.sum(ss)
 
-    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap):
+    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap,
+                argdiffs=None):
         vargs, axes = self._vargs(new_args)
         keys = jr.split(key, self.n)
         steps, logqs, disc = jax.vmap(

@@ -40,6 +40,7 @@ __all__ = [
     "MvNormalDiag", "mvnormal_diag",
     "MvNormal", "mvnormal",
     "Delta", "delta",
+    "Factor", "factor",
 ]
 
 
@@ -433,6 +434,26 @@ class MvNormal(Distribution):
 
 
 @_dist
+class Factor(Distribution):
+    """A soft factor: contributes ``logw`` to the score regardless of its
+    (dummy, always-0) value. Unconstrained sites cancel out of ``generate``
+    and fresh-``update`` weights, so a ``Factor(beta * loglik)`` site turns
+    args-updates into tempered-SMC incremental weights
+    (Δscore = Δbeta · loglik) — the TPU-native realization of annealing via
+    trace translators (SURVEY.md C13)."""
+    logw: Any
+
+    def sample(self, key):
+        return jnp.zeros(jnp.shape(self.logw), jnp.float32)
+
+    def log_prob(self, value):
+        return jnp.asarray(self.logw, jnp.float32)
+
+    def batch_shape(self):
+        return jnp.shape(self.logw)
+
+
+@_dist
 class Delta(Distribution):
     """Deterministic distribution (point mass) — useful for transformed sites."""
     value: Any
@@ -467,3 +488,4 @@ student_t = StudentT
 mvnormal_diag = MvNormalDiag
 mvnormal = MvNormal
 delta = Delta
+factor = Factor

@@ -40,7 +40,7 @@ from .distributions import Distribution
 
 __all__ = [
     "Trace", "GenFn", "DynamicGenFn", "gen", "trace",
-    "NoChange", "UnknownChange",
+    "NoChange", "UnknownChange", "Extend",
     "simulate", "generate", "propose", "assess", "update", "regenerate",
     "get_choices", "get_args", "get_retval", "get_score", "get_gen_fn",
 ]
@@ -60,6 +60,23 @@ class NoChange:
 class UnknownChange:
     def __repr__(self):
         return "UnknownChange()"
+
+
+class Extend:
+    """Argdiff for a combinator length argument: a static promise that the
+    new length equals the old plus ``k`` and that constraints only target
+    the newly activated steps. Unlocks the O(1)-per-step incremental
+    extension path in :class:`~.combinators.Unfold` (the TPU equivalent of
+    Gen's incremental computation on ``Unfold`` traces, which the reference
+    relies on at /root/reference/src/update.jl:16-17)."""
+
+    __slots__ = ("k",)
+
+    def __init__(self, k: int = 1):
+        self.k = int(k)
+
+    def __repr__(self):
+        return f"Extend({self.k})"
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +148,8 @@ class GenFn:
         raise NotImplementedError
 
     def update(self, key, tr: Trace, new_args, argdiffs, constraints: ChoiceMap):
-        new_tr, logq, discard = self._update(key, tr, new_args, constraints)
+        new_tr, logq, discard = self._update(key, tr, new_args, constraints,
+                                             argdiffs=argdiffs)
         weight = new_tr.score - tr.score - logq
         return new_tr, weight, UnknownChange(), discard
 
@@ -143,7 +161,7 @@ class GenFn:
         return new_tr, weight
 
     # -- internal protocol (used by masked combinators) -------------------
-    def _update(self, key, tr, new_args, constraints):
+    def _update(self, key, tr, new_args, constraints, argdiffs=None):
         """Returns (new_trace, logq_fresh, discard)."""
         raise NotImplementedError
 
@@ -508,7 +526,8 @@ class DynamicGenFn(GenFn):
         retval = self._run(h, args)
         return retval, h.score
 
-    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap):
+    def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap,
+                argdiffs=None):
         h = _UpdateHandler(key, tr.inner, constraints)
         retval = self._run(h, new_args)
         return self._mk_trace(new_args, retval, h), h.logq, ChoiceMap(h.discard)

@@ -21,12 +21,12 @@ import jax.random as jr
 from jax import lax
 
 from ..core import (gen, trace, bernoulli, normal, Unfold, ChoiceMap, Entry,
-                    Selection, UnknownChange)
+                    Selection, UnknownChange, Extend, NoChange)
 from ..smc import (pf_initialize, pf_update, pf_resample, pf_rejuvenate,
                    effective_sample_size, mh)
 
 __all__ = ["make_object_motion", "init_state", "synthesize_data",
-           "object_motion_filter", "obs_at_t"]
+           "object_motion_filter", "object_motion_filter_impl", "obs_at_t"]
 
 
 def make_object_motion(t_max: int) -> Unfold:
@@ -68,10 +68,9 @@ def synthesize_data(key, t_max: int, switch_t: int):
     return y_obs, tr
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def object_motion_filter(key, y_obs, n_particles: int, t_max: int,
-                         ess_frac: float = 0.5):
-    """The README particle-filter driver (README.md:60-79), fully jitted:
+def object_motion_filter_impl(key, y_obs, n_particles: int, t_max: int,
+                              ess_frac: float = 0.5):
+    """The README particle-filter driver (README.md:60-79), fully jittable:
     residual resampling + MH rejuvenation when ESS < ess_frac·N, then a
     one-step extension update."""
     model = make_object_motion(t_max)
@@ -94,9 +93,13 @@ def object_motion_filter(key, y_obs, n_particles: int, t_max: int,
         ess = effective_sample_size(state)
         state = lax.cond(ess < ess_frac * n_particles,
                          resample_rejuvenate, lambda s: s, state)
-        state = pf_update(ku, state, (t + 1, x0), (UnknownChange(),),
+        state = pf_update(ku, state, (t + 1, x0), (Extend(1), NoChange()),
                           obs_at_t(y_obs, t), check=False)
         return state, None
 
     state, _ = lax.scan(step, state, jnp.arange(1, t_max, dtype=jnp.int32))
     return state
+
+
+object_motion_filter = partial(jax.jit, static_argnums=(2, 3))(
+    object_motion_filter_impl)

@@ -212,9 +212,13 @@ get_lml_est = log_ml_estimate
 
 
 def sample_unweighted_traces(key, state, n_samples: int) -> Trace:
-    """Sample traces i.i.d. by normalized weight (ref: src/utils.jl:189-194)."""
-    lw = get_log_norm_weights(state)
-    idx = jr.categorical(key, lw, shape=(n_samples,))
+    """Sample traces i.i.d. by normalized weight (ref: src/utils.jl:189-194).
+    Inverse-CDF sampling: linear memory in the particle count."""
+    w = get_norm_weights(state)
+    cum = jnp.cumsum(w)
+    u = jr.uniform(key, (n_samples,), w.dtype) * cum[-1]
+    idx = jnp.clip(jnp.searchsorted(cum, u, side="right", method="sort"),
+                   0, state.n_particles - 1)
     return jax.tree_util.tree_map(lambda l: l[idx], state.traces)
 
 
