@@ -50,6 +50,15 @@ def _and_lead(mask, active, value_ndim):
     return jnp.logical_and(m, a)
 
 
+
+def _slim_steps(steps: Trace) -> Trace:
+    """Drop per-step args/retval from stacked step traces: they are
+    reconstructed on every interpretation (args) or stacked separately as
+    the Unfold retval (carried states), so storing them per step only
+    inflates the particle state the resampling gather has to move."""
+    return Trace(steps.gen_fn, (), None, steps.score, steps.inner)
+
+
 class Unfold(GenFn):
     """Markov-chain combinator over a step generative function.
 
@@ -196,7 +205,8 @@ class Unfold(GenFn):
         _, (steps, states) = lax.scan(body, state0, ts)
         active = self._active(t_active, True)
         score = jnp.sum(jnp.where(active, steps.score, 0.0))
-        inner = {"steps": steps, "t": t_active, "outer_mask": True}
+        inner = {"steps": _slim_steps(steps), "t": t_active,
+                 "outer_mask": True}
         return Trace(self, args, states, score, inner)
 
     def generate(self, key, args, constraints: ChoiceMap = EMPTY):
@@ -216,7 +226,8 @@ class Unfold(GenFn):
         active = self._active(t_active, True)
         score = jnp.sum(jnp.where(active, steps.score, 0.0))
         weight = jnp.sum(jnp.where(active, ws, 0.0))
-        inner = {"steps": steps, "t": t_active, "outer_mask": True}
+        inner = {"steps": _slim_steps(steps), "t": t_active,
+                 "outer_mask": True}
         return Trace(self, args, states, score, inner), weight
 
     def assess(self, args, choices: ChoiceMap):
@@ -293,7 +304,7 @@ class Unfold(GenFn):
             shrink_cm_entries[k2] = Entry(
                 e.value, _and_lead(e.mask, shrink, jnp.ndim(e.value)))
         discard = ChoiceMap(disc_entries).merge(ChoiceMap(shrink_cm_entries))
-        inner = {"steps": steps, "t": t_new, "outer_mask": True}
+        inner = {"steps": _slim_steps(steps), "t": t_new, "outer_mask": True}
         new_tr = Trace(self, new_args, states, score, inner)
         # adjust logq: caller computes weight = new.score - old.score - logq,
         # where old.score was computed with the *old* masks. Consistent.
@@ -337,7 +348,7 @@ class Unfold(GenFn):
             steps = jax.tree_util.tree_map(
                 lambda stk, s: jax.lax.dynamic_update_index_in_dim(
                     stk, jnp.asarray(s, stk.dtype), t, 0),
-                steps, new_step)
+                steps, _slim_steps(new_step))
             retvals = jax.tree_util.tree_map(
                 lambda stk, s: jax.lax.dynamic_update_index_in_dim(
                     stk, jnp.asarray(s, stk.dtype), t, 0),
@@ -380,7 +391,7 @@ class Unfold(GenFn):
         score = jnp.sum(jnp.where(a_new, steps.score, 0.0))
         sel_new = jnp.sum(jnp.where(a_new, sns, 0.0))
         sel_old = jnp.sum(jnp.where(a_new, sos, 0.0))
-        inner = {"steps": steps, "t": t_new, "outer_mask": True}
+        inner = {"steps": _slim_steps(steps), "t": t_new, "outer_mask": True}
         return Trace(self, new_args, states, score, inner), sel_new, sel_old
 
     # -- structure --------------------------------------------------------
