@@ -110,3 +110,21 @@ def test_stratified_assignment_layouts():
     assert 0 <= a[9] <= 2  # random remainder
     a = np.asarray(stratum_assignment(jr.key(0), 10, 3, "interleaved"))
     assert (a[:9] == np.arange(9) % 3).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from genparticlefilters_tpu.utils.checkpoint import (save_state,
+                                                         restore_state)
+    state = g.pf_initialize(jr.key(0), line_model, (3,), line_choicemap(3),
+                            32)
+    p = str(tmp_path / "ckpt")
+    save_state(p, state)
+    fresh = g.pf_initialize(jr.key(1), line_model, (3,), line_choicemap(3),
+                            32)
+    restored = restore_state(p, fresh)
+    for a, b in zip(jnp.asarray(state.log_weights),
+                    jnp.asarray(restored.log_weights)):
+        assert float(a) == float(b)
+    np.testing.assert_array_equal(
+        np.asarray(g.batched_choice(state, "slope")),
+        np.asarray(g.batched_choice(restored, "slope")))
