@@ -360,7 +360,11 @@ class Unfold(GenFn):
         new_tr = Trace(self, new_args, retvals, tr.score + score_add, inner)
         return new_tr, logq, ChoiceMap({})
 
-    def _regenerate(self, key, tr: Trace, new_args, selection: Selection):
+    def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
+                    window=None):
+        if (window is not None and tr.inner["outer_mask"] is True):
+            return self._regenerate_window(key, tr, new_args, selection,
+                                           int(window))
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
         outer_mask = tr.inner["outer_mask"]
@@ -393,6 +397,75 @@ class Unfold(GenFn):
         sel_old = jnp.sum(jnp.where(a_new, sos, 0.0))
         inner = {"steps": _slim_steps(steps), "t": t_new, "outer_mask": True}
         return Trace(self, new_args, states, score, inner), sel_new, sel_old
+
+    def _regenerate_window(self, key, tr: Trace, new_args,
+                           selection: Selection, k: int):
+        """O(k) rejuvenation: recompute only the last k active steps.
+
+        Caller promise (like :class:`~.gfi.Extend`): the selection does not
+        touch steps before ``t_active - k``, and the args are unchanged.
+        """
+        t_new, state0, params = self._split_args(new_args)
+        t_old = tr.inner["t"]
+        old_steps = tr.inner["steps"]
+        dsel, _ = self._slice_sel(self._densify_selection(selection))
+
+        t_start = t_old - k
+        idx_prev = jnp.maximum(t_start - 1, 0)
+        prev_state = jax.tree_util.tree_map(
+            lambda l: jax.lax.dynamic_index_in_dim(l, idx_prev,
+                                                   keepdims=False),
+            tr.retval)
+        state = _tree_where(t_start > 0, prev_state, state0)
+
+        steps = old_steps
+        retvals = tr.retval
+        score_delta = jnp.asarray(0.0, jnp.float32)
+        sel_new = jnp.asarray(0.0, jnp.float32)
+        sel_old = jnp.asarray(0.0, jnp.float32)
+        for j in range(k):
+            t = t_start + j
+            t_c = jnp.clip(t, 0, self.T - 1)
+            active_j = jnp.logical_and(t >= 0, t < t_old)
+            old_step = jax.tree_util.tree_map(
+                lambda l: jax.lax.dynamic_index_in_dim(l, t_c,
+                                                       keepdims=False),
+                old_steps)
+            step_sel = (dsel if dsel.all_ else Selection(
+                {k2: (m if isinstance(m, bool) else
+                      jax.lax.dynamic_index_in_dim(m, t_c, keepdims=False))
+                 for k2, m in dsel.entries.items()}))
+            kj = jr.fold_in(key, t_c)
+            new_step, sn_t, so_t = self.step._regenerate(
+                kj, old_step, (t_c, state) + params, step_sel)
+            new_slim = _slim_steps(new_step)
+            write = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(active_j, jnp.asarray(
+                    new, jnp.asarray(old).dtype), old),
+                new_slim, jax.tree_util.tree_map(
+                    lambda l: jax.lax.dynamic_index_in_dim(
+                        l, t_c, keepdims=False), old_steps))
+            steps = jax.tree_util.tree_map(
+                lambda stk, s: jax.lax.dynamic_update_index_in_dim(
+                    stk, jnp.asarray(s, stk.dtype), t_c, 0),
+                steps, write)
+            state = _tree_where(active_j, new_step.retval, state)
+            retvals = jax.tree_util.tree_map(
+                lambda stk, s: jax.lax.dynamic_update_index_in_dim(
+                    stk, jnp.where(active_j, jnp.asarray(s, stk.dtype),
+                                   jax.lax.dynamic_index_in_dim(
+                                       stk, t_c, keepdims=False)), t_c, 0),
+                retvals, state)
+            old_score_t = jax.lax.dynamic_index_in_dim(
+                old_steps.score, t_c, keepdims=False)
+            score_delta = score_delta + jnp.where(
+                active_j, new_step.score - old_score_t, 0.0)
+            sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
+            sel_old = sel_old + jnp.where(active_j, so_t, 0.0)
+
+        inner = {"steps": steps, "t": t_old, "outer_mask": True}
+        new_tr = Trace(self, new_args, retvals, tr.score + score_delta, inner)
+        return new_tr, sel_new, sel_old
 
     # -- structure --------------------------------------------------------
     def trace_choices(self, tr: Trace) -> ChoiceMap:
@@ -481,7 +554,8 @@ class MapCombinator(GenFn):
         return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
                 jnp.sum(logqs), disc)
 
-    def _regenerate(self, key, tr: Trace, new_args, selection: Selection):
+    def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
+                    window=None):
         vargs, axes = self._vargs(new_args)
         keys = jr.split(key, self.n)
         steps, sns, sos = jax.vmap(

@@ -154,9 +154,9 @@ class GenFn:
         return new_tr, weight, UnknownChange(), discard
 
     def regenerate(self, key, tr: Trace, new_args, argdiffs,
-                   selection: Selection):
+                   selection: Selection, window: int | None = None):
         new_tr, sel_new, sel_old = self._regenerate(
-            key, tr, new_args, selection)
+            key, tr, new_args, selection, window=window)
         weight = (new_tr.score - sel_new) - (tr.score - sel_old)
         return new_tr, weight
 
@@ -165,8 +165,11 @@ class GenFn:
         """Returns (new_trace, logq_fresh, discard)."""
         raise NotImplementedError
 
-    def _regenerate(self, key, tr, new_args, selection):
-        """Returns (new_trace, sel_lp_new, sel_lp_old)."""
+    def _regenerate(self, key, tr, new_args, selection, window=None):
+        """Returns (new_trace, sel_lp_new, sel_lp_old). ``window`` is an
+        optional static promise that the selection only touches the last
+        ``window`` active steps of a combinator (enables O(window)
+        rejuvenation)."""
         raise NotImplementedError
 
     # -- structure --------------------------------------------------------
@@ -421,8 +424,9 @@ class _UpdateHandler(_Handler):
 
 
 class _RegenerateHandler(_Handler):
-    def __init__(self, key, old_inner, selection: Selection):
+    def __init__(self, key, old_inner, selection: Selection, window=None):
         super().__init__(key)
+        self.window = window
         self.old_sites = old_inner["sites"]
         self.old_subs = old_inner["subs"]
         self.old_site_scores = old_inner["site_scores"]
@@ -472,7 +476,8 @@ class _RegenerateHandler(_Handler):
             self.record_sub(addr, sub)
             return sub.retval
         sub, sn, so = gf._regenerate(self.fresh_key(), old_sub, args,
-                                     _scope_path(self.selection, addr))
+                                     _scope_path(self.selection, addr),
+                                     window=self.window)
         self.sel_new = self.sel_new + sn
         self.sel_old = self.sel_old + so
         self.record_sub(addr, sub)
@@ -532,8 +537,9 @@ class DynamicGenFn(GenFn):
         retval = self._run(h, new_args)
         return self._mk_trace(new_args, retval, h), h.logq, ChoiceMap(h.discard)
 
-    def _regenerate(self, key, tr: Trace, new_args, selection: Selection):
-        h = _RegenerateHandler(key, tr.inner, selection)
+    def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
+                    window=None):
+        h = _RegenerateHandler(key, tr.inner, selection, window=window)
         retval = self._run(h, new_args)
         return self._mk_trace(new_args, retval, h), h.sel_new, h.sel_old
 
@@ -587,8 +593,10 @@ def update(key, tr: Trace, new_args, argdiffs, constraints: ChoiceMap):
     return tr.gen_fn.update(key, tr, new_args, argdiffs, constraints)
 
 
-def regenerate(key, tr: Trace, new_args, argdiffs, selection: Selection):
-    return tr.gen_fn.regenerate(key, tr, new_args, argdiffs, selection)
+def regenerate(key, tr: Trace, new_args, argdiffs, selection: Selection,
+               window: int | None = None):
+    return tr.gen_fn.regenerate(key, tr, new_args, argdiffs, selection,
+                                window=window)
 
 
 def get_choices(tr: Trace):

@@ -87,7 +87,7 @@ def object_motion_filter_impl(key, y_obs, n_particles: int, t_max: int,
             steps = jnp.arange(t_max)
             sel_mask = (steps == t - 1) | (steps == t)
             sel = Selection({("moving",): sel_mask, ("y",): sel_mask})
-            s = pf_rejuvenate(kj, s, mh, (sel,))
+            s = pf_rejuvenate(kj, s, mh, (sel,), window=2)
             return s
 
         ess = effective_sample_size(state)

@@ -65,7 +65,8 @@ def check_observations(choices: ChoiceMap, observations: ChoiceMap,
 # ---------------------------------------------------------------------------
 
 def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
-       check=False, observations: ChoiceMap = EMPTY):
+       check=False, observations: ChoiceMap = EMPTY,
+       window: int | None = None):
     """Metropolis–Hastings kernel: ``(new_trace, accept)``.
 
     Selection form: regenerate the selected addresses from the internal
@@ -77,7 +78,8 @@ def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
     args = trace.get_args()
     if isinstance(selection_or_proposal, Selection):
         new_tr, w = trace.gen_fn.regenerate(
-            k1, trace, args, _nochange(args), selection_or_proposal)
+            k1, trace, args, _nochange(args), selection_or_proposal,
+            window=window)
     else:
         proposal: GenFn = selection_or_proposal
         p_args = tuple(proposal_args or ())
@@ -96,7 +98,8 @@ def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
 def move_reweight(key, trace: Trace, selection_or_proposal,
                   proposal_args=None, involution=None,
                   bwd_proposal: GenFn | None = None, bwd_args=None,
-                  check=False, observations: ChoiceMap = EMPTY):
+                  check=False, observations: ChoiceMap = EMPTY,
+                  window: int | None = None):
     """Move-reweight kernel: ``(new_trace, rel_log_weight)``
     (ref: src/rejuvenate.jl:125-176, Marques & Storvik 2013).
 
@@ -109,7 +112,8 @@ def move_reweight(key, trace: Trace, selection_or_proposal,
     args = trace.get_args()
     if isinstance(selection_or_proposal, Selection):
         new_tr, rel_w = trace.gen_fn.regenerate(
-            key, trace, args, _nochange(args), selection_or_proposal)
+            key, trace, args, _nochange(args), selection_or_proposal,
+            window=window)
         if check:
             check_observations(new_tr.get_choices(), observations)
         return new_tr, rel_w

@@ -29,7 +29,8 @@ from ..utils.weights import (lognorm, softmax, ess_from_log_weights,
                              logsumexp)
 
 __all__ = [
-    "ParticleFilterState", "ParticleFilterSubState", "pf_state",
+    "ParticleFilterState", "ParticleFilterSubState", "ParticleFilterView",
+    "pf_state",
     "get_traces", "get_log_weights", "get_parents",
     "get_log_norm_weights", "get_norm_weights",
     "effective_sample_size", "get_ess",
@@ -141,6 +142,10 @@ def _sub_unflatten(_, children):
 
 jax.tree_util.register_pytree_node(
     ParticleFilterSubState, _sub_flatten, _sub_unflatten)
+
+
+#: isinstance-union of full states and views (ref: src/view.jl:28-33)
+ParticleFilterView = (ParticleFilterState, ParticleFilterSubState)
 
 
 def pf_state(traces: Trace, log_weights=None) -> ParticleFilterState:

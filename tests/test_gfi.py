@@ -111,3 +111,27 @@ def test_vmap_jit_composition():
     trs, ws = batch_gen(jr.split(jr.key(0), 32))
     assert ws.shape == (32,)
     assert trs.score.shape == (32,)
+
+
+def test_windowed_regenerate_matches_full():
+    """window=k regenerate on Unfold is exact when the selection only
+    touches the last k active steps; also propagates through a wrapping
+    @gen model."""
+    obs = g.choicemap(*[(("line", t, "y"), 0.5 * t) for t in range(5)])
+    tr, _ = line_model.generate(jr.key(0), (5,), obs)
+    steps = jnp.arange(10)
+    mask = (steps == 3) | (steps == 4)
+    sel = g.Selection({("line", "outlier"): mask, ("line", "y"): mask})
+    full, wf = g.regenerate(jr.key(7), tr, (5,), (g.NoChange(),), sel)
+    fast, ww = g.regenerate(jr.key(7), tr, (5,), (g.NoChange(),), sel,
+                            window=2)
+    np.testing.assert_allclose(float(wf), float(ww), atol=1e-4)
+    np.testing.assert_allclose(float(full.score), float(fast.score),
+                               atol=1e-4)
+    cf, cw = full.get_choices(), fast.get_choices()
+    for k in cf.entries:
+        a, b = np.asarray(cf[k]), np.asarray(cw[k])
+        ma = np.asarray(cf.get_mask(k))
+        np.testing.assert_allclose(np.where(ma, a.astype(float), 0),
+                                   np.where(ma, b.astype(float), 0),
+                                   atol=1e-5)
