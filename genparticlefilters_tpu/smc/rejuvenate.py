@@ -65,7 +65,7 @@ def check_observations(choices: ChoiceMap, observations: ChoiceMap,
 # ---------------------------------------------------------------------------
 
 def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
-       check=False, observations: ChoiceMap = EMPTY,
+       involution=None, check=False, observations: ChoiceMap = EMPTY,
        window: int | None = None):
     """Metropolis–Hastings kernel: ``(new_trace, accept)``.
 
@@ -73,6 +73,8 @@ def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
     proposal and accept with probability ``min(1, e^weight)``.
     Proposal form: propose from a custom proposal, update, and assess the
     discarded choices under the proposal for the reverse density.
+    Involution form: ``involution(trace, fwd_choices, fwd_ret, p_args) ->
+    (new_trace, bwd_choices, weight)`` (Gen's involutive MCMC).
     """
     k1, k2, k3 = jr.split(key, 3)
     args = trace.get_args()
@@ -80,6 +82,15 @@ def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
         new_tr, w = trace.gen_fn.regenerate(
             k1, trace, args, _nochange(args), selection_or_proposal,
             window=window)
+    elif involution is not None:
+        proposal: GenFn = selection_or_proposal
+        p_args = tuple(proposal_args or ())
+        fwd_choices, fwd_score, fwd_ret = proposal.propose(
+            k1, (trace,) + p_args)
+        new_tr, bwd_choices, w_inv = involution(trace, fwd_choices, fwd_ret,
+                                                p_args)
+        _, bwd_score = proposal.assess((new_tr,) + p_args, bwd_choices)
+        w = w_inv - fwd_score + bwd_score
     else:
         proposal: GenFn = selection_or_proposal
         p_args = tuple(proposal_args or ())

@@ -9,13 +9,15 @@ weight semantics exactly (ref lines 190-218): zeros (or weight/priority
 ratio summing to n) for full states; block-total-preserving weights for
 sub-states, whose LML is never touched (ref lines 185-187).
 
-TPU-native formulation: every data-dependent Julia loop becomes a
-sort/cumsum/searchsorted composition with static shapes — residual's
-variable copy counts via ``searchsorted(cumsum(⌊Nw⌋), j)``, stratified/
-systematic via inverse-CDF lookups of per-stratum uniforms — so resampling
-jits, vmaps, and shards. The ancestor gather ``traces[parents]`` is a single
-``jax.lax.gather`` over the particle axis (cross-shard exchange lives in
-``parallel/``).
+TPU-native formulation: every data-dependent Julia loop becomes O(N)
+static-shape arithmetic. Systematic/stratified draws and residual's
+deterministic block have closed-form offspring counts, converted to parent
+indices by a sort-free scatter + ``cummax`` (``counts_to_parents``); only
+multinomial draws (and residual's remainder) need an inverse-CDF
+searchsorted. The ancestor gather ``traces[parents]`` packs all 4-byte trace
+leaves into one [N, D] matrix and gathers rows once (cross-shard exchange
+lives in ``parallel/``; a Pallas ranged-DMA kernel for clustered parents is
+in ``ops/sorted_gather.py``).
 """
 
 from __future__ import annotations
