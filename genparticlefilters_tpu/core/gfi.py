@@ -369,8 +369,10 @@ class _AssessHandler(_Handler):
 
 
 class _UpdateHandler(_Handler):
-    def __init__(self, key, old_inner, constraints: ChoiceMap):
+    def __init__(self, key, old_inner, constraints: ChoiceMap,
+                 argdiffs=None):
         super().__init__(key)
+        self.argdiffs = argdiffs
         self.old_sites = old_inner["sites"]
         self.old_subs = old_inner["subs"]
         self.constraints = constraints
@@ -414,8 +416,16 @@ class _UpdateHandler(_Handler):
             self.logq = self.logq + (sub.score - w)
             self.record_sub(addr, sub)
             return sub.retval
+        # propagate an Extend promise to sub-combinators: the promise is
+        # about the (length, params...) args of any Unfold reached, with
+        # the wrapping model's own non-length args unchanged
+        sub_diffs = None
+        if self.argdiffs and isinstance(self.argdiffs[0], Extend):
+            sub_diffs = (self.argdiffs[0],) + tuple(
+                NoChange() for _ in range(max(len(args) - 1, 0)))
         sub, logq, disc = gf._update(self.fresh_key(), old_sub, args,
-                                     _scope_path(self.constraints, addr))
+                                     _scope_path(self.constraints, addr),
+                                     argdiffs=sub_diffs)
         self.logq = self.logq + logq
         for k, v in disc.entries.items():
             self.discard[addr + k] = v
@@ -533,7 +543,7 @@ class DynamicGenFn(GenFn):
 
     def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap,
                 argdiffs=None):
-        h = _UpdateHandler(key, tr.inner, constraints)
+        h = _UpdateHandler(key, tr.inner, constraints, argdiffs=argdiffs)
         retval = self._run(h, new_args)
         return self._mk_trace(new_args, retval, h), h.logq, ChoiceMap(h.discard)
 

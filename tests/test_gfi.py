@@ -135,3 +135,24 @@ def test_windowed_regenerate_matches_full():
         np.testing.assert_allclose(np.where(ma, a.astype(float), 0),
                                    np.where(ma, b.astype(float), 0),
                                    atol=1e-5)
+
+
+def test_extend_through_nested_model():
+    """Extend argdiffs reach the Unfold inside a wrapping @gen model and
+    produce results identical to a full re-execution."""
+    from fixtures import line_choicemap
+    tr, _ = line_model.generate(jr.key(0), (2,), line_choicemap(2))
+    obs = g.choicemap((("line", 2, "y"), 0.5))
+    slow, ws, _, _ = g.update(jr.key(5), tr, (3,), (g.UnknownChange(),), obs)
+    fast, wf, _, _ = g.update(jr.key(5), tr, (3,), (g.Extend(1),), obs)
+    np.testing.assert_allclose(float(ws), float(wf), atol=1e-5)
+    np.testing.assert_allclose(float(slow.score), float(fast.score),
+                               atol=1e-5)
+    cs, cf = slow.get_choices(), fast.get_choices()
+    for k in cs.entries:
+        a, b = np.asarray(cs[k]), np.asarray(cf[k])
+        ma = np.asarray(cs.get_mask(k))
+        np.testing.assert_array_equal(ma, np.asarray(cf.get_mask(k)))
+        np.testing.assert_allclose(np.where(ma, a.astype(float), 0),
+                                   np.where(ma, b.astype(float), 0),
+                                   atol=1e-5)
