@@ -141,9 +141,10 @@ class ChoiceMap:
         return ChoiceMap({k: v for k, v in self.entries.items()
                           if not (k and isinstance(k[0], int))})
 
-    def resolve(self, addr):
-        """Look up ``addr``; int components index leading axes of dense
-        entries. Returns ``Entry`` or None."""
+    def resolve(self, addr, batch_axes: int = 0):
+        """Look up ``addr``; int components index the leading combinator
+        axes of dense entries, AFTER skipping ``batch_axes`` leading batch
+        (e.g. particle) axes. Returns ``Entry`` or None."""
         comps = normalize_address(addr)
         d = self.entries
         idxs = []
@@ -157,13 +158,14 @@ class ChoiceMap:
         if e is None:
             return None
         if idxs:
-            value = e.value[tuple(idxs)]
+            sel = (slice(None),) * batch_axes + tuple(idxs)
+            value = jnp.asarray(e.value)[sel]
             if e.mask is True:
                 mask = True
             else:
                 m = jnp.asarray(e.mask, dtype=bool)
-                mi = tuple(idxs[: m.ndim])
-                mask = m[mi]
+                msel = tuple(s for s in sel[: m.ndim])
+                mask = m[msel]
             return Entry(value, mask)
         return e
 

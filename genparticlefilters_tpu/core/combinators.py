@@ -235,6 +235,23 @@ class Unfold(GenFn):
         dense = self._slice_cm(self._densify(choices))
         ts = jnp.arange(self.T, dtype=jnp.int32)
 
+        # eager coverage check: every active step of every address must be
+        # constrained (a plain @gen model raises on a missing address; the
+        # dense-mask representation would otherwise silently score zeros)
+        if not isinstance(t_active, jax.core.Tracer):
+            act = jnp.arange(self.T) < int(t_active)
+            for k2, e in dense.entries.items():
+                m = e.mask
+                m = jnp.asarray(m, bool) if m is not True else jnp.ones(
+                    (self.T,), bool)
+                covered = jnp.logical_or(m.reshape(self.T, -1).all(axis=1),
+                                         jnp.logical_not(act))
+                if not isinstance(covered, jax.core.Tracer) and not bool(
+                        jnp.all(covered)):
+                    raise ValueError(
+                        f"assess: address {k2} missing at some active "
+                        "timesteps")
+
         def body(state, xs):
             t, step_c = xs
             # assess per-step: all sites constrained by the dense arrays
@@ -313,9 +330,17 @@ class Unfold(GenFn):
     def _update_extend(self, key, tr: Trace, new_args,
                        constraints: ChoiceMap, k: int):
         """O(k) trace extension: run only the k newly activated steps and
-        write them into the stacked step traces at dynamic indices."""
+        write them into the stacked step traces at dynamic indices.
+
+        The new active length must not exceed ``max_steps`` (checked
+        eagerly; under jit the caller owns the promise)."""
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
+        if not isinstance(t_new, jax.core.Tracer):
+            if int(t_new) > self.T:
+                raise ValueError(
+                    f"Extend({k}) would grow the Unfold past max_steps="
+                    f"{self.T} (new active length {int(t_new)})")
         old_steps = tr.inner["steps"]
         dense = self._slice_cm(self._densify(constraints))
 
@@ -356,6 +381,15 @@ class Unfold(GenFn):
             score_add = score_add + new_step.score
             logq = logq + logq_t
 
+        # keep the documented invariant: retval entries at inactive steps
+        # repeat the last active state
+        steps_axis = jnp.arange(self.T, dtype=jnp.int32)
+        retvals = jax.tree_util.tree_map(
+            lambda stk, last: jnp.where(
+                (steps_axis >= t_new).reshape(
+                    (self.T,) + (1,) * (jnp.ndim(stk) - 1)),
+                jnp.asarray(last, stk.dtype), stk),
+            retvals, state)
         inner = {"steps": steps, "t": t_new, "outer_mask": True}
         new_tr = Trace(self, new_args, retvals, tr.score + score_add, inner)
         return new_tr, logq, ChoiceMap({})
@@ -463,6 +497,13 @@ class Unfold(GenFn):
             sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
             sel_old = sel_old + jnp.where(active_j, so_t, 0.0)
 
+        steps_axis = jnp.arange(self.T, dtype=jnp.int32)
+        retvals = jax.tree_util.tree_map(
+            lambda stk, last: jnp.where(
+                (steps_axis >= t_old).reshape(
+                    (self.T,) + (1,) * (jnp.ndim(stk) - 1)),
+                jnp.asarray(last, stk.dtype), stk),
+            retvals, state)
         inner = {"steps": steps, "t": t_old, "outer_mask": True}
         new_tr = Trace(self, new_args, retvals, tr.score + score_delta, inner)
         return new_tr, sel_new, sel_old

@@ -215,7 +215,9 @@ class Poisson(Distribution):
     def log_prob(self, value):
         rate = _f(self.rate)
         v = _f(value)
-        lp = v * jnp.log(rate) - rate - jsp_special.gammaln(v + 1.0)
+        # guard 0*log(0) at (v=0, rate=0): P(0)=1 there
+        vlog = jnp.where(v > 0, v * jnp.log(jnp.maximum(rate, 1e-37)), 0.0)
+        lp = vlog - rate - jsp_special.gammaln(v + 1.0)
         return jnp.where(v >= 0, lp, -jnp.inf)
 
     def batch_shape(self):
@@ -291,7 +293,10 @@ class Geometric(Distribution):
     def log_prob(self, value):
         p = jnp.clip(_f(self.p), 1e-37, 1.0)
         v = _f(value)
-        return jnp.where(v >= 0, v * jnp.log1p(-p) + jnp.log(p), -jnp.inf)
+        # guard 0*(-inf) at (v=0, p=1): P(0)=1 there
+        vterm = jnp.where(v > 0, v * jnp.log1p(-jnp.minimum(p, 1 - 1e-7)),
+                          0.0)
+        return jnp.where(v >= 0, vterm + jnp.log(p), -jnp.inf)
 
     def batch_shape(self):
         return jnp.shape(self.p)

@@ -68,15 +68,23 @@ class Extend:
     the newly activated steps. Unlocks the O(1)-per-step incremental
     extension path in :class:`~.combinators.Unfold` (the TPU equivalent of
     Gen's incremental computation on ``Unfold`` traces, which the reference
-    relies on at /root/reference/src/update.jl:16-17)."""
+    relies on at /root/reference/src/update.jl:16-17).
 
-    __slots__ = ("k",)
+    When the Unfold is nested inside a wrapping ``@gen`` model, name it:
+    ``Extend(1, at="line")`` — the promise then reaches exactly that
+    sub-call (other sub-generative-functions are updated normally). A bare
+    ``Extend(k)`` inside a wrapping model with a *single* gf sub-call also
+    reaches it; with several sub-calls an address is required."""
 
-    def __init__(self, k: int = 1):
+    __slots__ = ("k", "at")
+
+    def __init__(self, k: int = 1, at=None):
         self.k = int(k)
+        self.at = at
 
     def __repr__(self):
-        return f"Extend({self.k})"
+        return (f"Extend({self.k})" if self.at is None
+                else f"Extend({self.k}, at={self.at!r})")
 
 
 # ---------------------------------------------------------------------------
@@ -326,8 +334,8 @@ class _GenerateHandler(_Handler):
             self.record(addr, v, dist.log_prob(v))
             return v
         if e.mask is True:
-            sampled = dist.sample(self.fresh_key())
-            v = _broadcast_val(e.value, sampled)
+            self.fresh_key()  # keep the per-site key stream stable
+            v = jnp.asarray(e.value)
             lp = dist.log_prob(v)
             self.weight = self.weight + jnp.sum(lp)
             self.record(addr, v, lp)
@@ -370,9 +378,10 @@ class _AssessHandler(_Handler):
 
 class _UpdateHandler(_Handler):
     def __init__(self, key, old_inner, constraints: ChoiceMap,
-                 argdiffs=None):
+                 argdiffs=None, sole_subcall=False):
         super().__init__(key)
         self.argdiffs = argdiffs
+        self.sole_subcall = sole_subcall
         self.old_sites = old_inner["sites"]
         self.old_subs = old_inner["subs"]
         self.constraints = constraints
@@ -416,13 +425,17 @@ class _UpdateHandler(_Handler):
             self.logq = self.logq + (sub.score - w)
             self.record_sub(addr, sub)
             return sub.retval
-        # propagate an Extend promise to sub-combinators: the promise is
-        # about the (length, params...) args of any Unfold reached, with
-        # the wrapping model's own non-length args unchanged
+        # propagate an Extend promise only to the sub-call it names
+        # (Extend(k, at=addr)); a bare Extend reaches a sole gf sub-call
         sub_diffs = None
         if self.argdiffs and isinstance(self.argdiffs[0], Extend):
-            sub_diffs = (self.argdiffs[0],) + tuple(
-                NoChange() for _ in range(max(len(args) - 1, 0)))
+            ext = self.argdiffs[0]
+            from .choicemap import normalize_address
+            target_ok = (normalize_address(ext.at) == addr
+                         if ext.at is not None else self.sole_subcall)
+            if target_ok:
+                sub_diffs = (ext,) + tuple(
+                    NoChange() for _ in range(max(len(args) - 1, 0)))
         sub, logq, disc = gf._update(self.fresh_key(), old_sub, args,
                                      _scope_path(self.constraints, addr),
                                      argdiffs=sub_diffs)
@@ -543,7 +556,8 @@ class DynamicGenFn(GenFn):
 
     def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap,
                 argdiffs=None):
-        h = _UpdateHandler(key, tr.inner, constraints, argdiffs=argdiffs)
+        h = _UpdateHandler(key, tr.inner, constraints, argdiffs=argdiffs,
+                           sole_subcall=len(tr.inner["subs"]) == 1)
         retval = self._run(h, new_args)
         return self._mk_trace(new_args, retval, h), h.logq, ChoiceMap(h.discard)
 

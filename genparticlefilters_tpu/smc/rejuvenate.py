@@ -42,21 +42,25 @@ def _nochange(args):
 
 
 def check_observations(choices: ChoiceMap, observations: ChoiceMap,
-                       atol=1e-5):
+                       atol=1e-5, batch_axes: int = 0):
     """Eager check that observed choices are preserved (Gen's
-    ``check_observations``; ref: src/rejuvenate.jl:5,130)."""
+    ``check_observations``; ref: src/rejuvenate.jl:5,130). For batched
+    (particle-axis) choicemaps pass ``batch_axes=1`` so integer address
+    components index combinator axes, not the particle axis. Silently
+    skipped under tracing."""
     if observations is EMPTY or not observations.entries:
         return
+    from .state import batched_choice_entry
     for k, e in observations.entries.items():
-        got = choices.resolve(k)
-        if got is None:
+        try:
+            gv, _ = batched_choice_entry(choices, k, batch_axes=batch_axes)
+        except KeyError:
             raise ValueError(f"observation at {k} missing from trace")
-        gv = jnp.asarray(got.value)
+        gv = jnp.asarray(gv)
         if isinstance(gv, jax.core.Tracer):
             return  # cannot compare under tracing
-        if not bool(jnp.all(jnp.abs(
-                gv.astype(jnp.float32)
-                - jnp.asarray(e.value, jnp.float32)) <= atol)):
+        want = jnp.asarray(e.value, jnp.float32)
+        if not bool(jnp.all(jnp.abs(gv.astype(jnp.float32) - want) <= atol)):
             raise ValueError(f"observation at {k} was modified")
 
 
@@ -174,12 +178,27 @@ def _sweeps(key, traces, kern, kern_args, n_iters, kwargs):
     return jax.vmap(per_particle)(keys, traces)
 
 
+def _post_check(kwargs, new_traces):
+    """Per-kernel check/observations run under vmap (values are tracers),
+    so honor them at state level after the sweeps (eager mode only)."""
+    check = kwargs.pop("check", False)
+    observations = kwargs.pop("observations", EMPTY)
+    return check, observations
+
+
+def _verify_observations(check, observations, traces):
+    if check and observations is not EMPTY:
+        check_observations(traces.get_choices(), observations, batch_axes=1)
+
+
 def pf_move_accept(key, state, kern=mh, kern_args=(), n_iters: int = 1,
                    return_stats: bool = False, **kwargs):
     """MCMC rejuvenation; weights untouched (ref: src/rejuvenate.jl:40-53)."""
+    check, observations = _post_check(kwargs, None)
     traces, log_weights, n, scatter = _block(state)
     new_traces, acc_sum, acc_all = _sweeps(
         key, traces, kern, kern_args, n_iters, kwargs)
+    _verify_observations(check, observations, new_traces)
     out = scatter(new_traces, log_weights)
     if return_stats:
         return out, {"accepts": acc_all, "accept_rate": jnp.mean(
@@ -191,9 +210,11 @@ def pf_move_reweight(key, state, kern=move_reweight, kern_args=(),
                      n_iters: int = 1, return_stats: bool = False, **kwargs):
     """Move-reweight rejuvenation; accumulates relative weights
     (ref: src/rejuvenate.jl:74-90)."""
+    check, observations = _post_check(kwargs, None)
     traces, log_weights, n, scatter = _block(state)
     new_traces, w_sum, w_all = _sweeps(
         key, traces, kern, kern_args, n_iters, kwargs)
+    _verify_observations(check, observations, new_traces)
     out = scatter(new_traces, log_weights + w_sum)
     if return_stats:
         return out, {"rel_weights": w_all}

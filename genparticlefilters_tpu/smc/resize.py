@@ -138,29 +138,34 @@ def pf_optimal_resize(key, state, n_particles: int, check="warn"):
     es = jnp.where(keep, 0.0, jnp.exp(lw_strat - mstrat))
     p = es / jnp.maximum(jnp.sum(es), 1e-37)
     cum = jnp.cumsum(p)
-    n_res = (m - n_keep).astype(jnp.float32)
-    step = 1.0 / jnp.maximum(n_res, 1.0)
-    u = jr.uniform(key, (), jnp.float32) * step
-    marks = jnp.floor((cum - u) / step) - jnp.floor(
-        (jnp.concatenate([jnp.zeros((1,)), cum[:-1]]) - u) / step)
-    picked = jnp.logical_and(jnp.logical_not(keep), marks >= 1.0)
+    # counts formulation with the final cumulative pinned to n_res: exactly
+    # n_res picks even under f32 cumsum roundoff (no unwritten ghost slots)
+    n_res = (m - n_keep).astype(jnp.int32)
+    u = jr.uniform(key, (), jnp.float32)
+    F = jnp.floor(n_res.astype(jnp.float32) * cum - u).astype(jnp.int32) + 1
+    F = jnp.clip(F, 0, n_res).at[-1].set(n_res)
+    F = jax.lax.cummax(F)
+    counts = F - jnp.concatenate([jnp.zeros((1,), F.dtype), F[:-1]])
+    from .resample import counts_to_parents
+    res_parents = counts_to_parents(counts, m)  # first n_res entries valid
 
-    # output layout: kept first (index order), then picked (index order)
+    # output layout: kept first (index order), then the resampled picks
     rank_keep = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    rank_pick = jnp.cumsum(picked.astype(jnp.int32)) - 1
-    pos = jnp.where(keep, rank_keep,
-                    jnp.where(picked, n_keep + rank_pick, m))  # m => dropped
+    pos_keep = jnp.where(keep, rank_keep, m)  # m => dropped
     src = jnp.arange(n_old, dtype=jnp.int32)
-    parents = jnp.zeros((m,), jnp.int32).at[pos].set(src, mode="drop")
+    j = jnp.arange(m, dtype=jnp.int32)
+    pos_res = jnp.where(j < n_res, n_keep + j, m)
+    parents = (jnp.zeros((m,), jnp.int32)
+               .at[pos_res].set(res_parents, mode="drop")
+               .at[pos_keep].set(src, mode="drop"))
 
     # weights (ref: src/resize.jl:188-195)
     log_n_ratio = jnp.log(float(m)) - jnp.log(float(n_old))
     log_tot = logsumexp(state.log_weights)
     kept_lw = state.log_weights + log_n_ratio
     res_lw = log_tot - log_c + log_n_ratio
-    lw_src = jnp.where(keep, kept_lw, res_lw)
-    new_lw = jnp.zeros((m,), state.log_weights.dtype).at[pos].set(
-        lw_src, mode="drop")
+    new_lw = jnp.full((m,), res_lw, state.log_weights.dtype).at[
+        pos_keep].set(kept_lw, mode="drop")
 
     new_traces = _gather_traces(state.traces, parents)
     return ParticleFilterState(new_traces, new_lw, state.log_ml_est, parents)

@@ -219,11 +219,8 @@ get_lml_est = log_ml_estimate
 def sample_unweighted_traces(key, state, n_samples: int) -> Trace:
     """Sample traces i.i.d. by normalized weight (ref: src/utils.jl:189-194).
     Inverse-CDF sampling: linear memory in the particle count."""
-    w = get_norm_weights(state)
-    cum = jnp.cumsum(w)
-    u = jr.uniform(key, (n_samples,), w.dtype) * cum[-1]
-    idx = jnp.clip(jnp.searchsorted(cum, u, side="right", method="sort"),
-                   0, state.n_particles - 1)
+    from .resample import multinomial_parents
+    idx = multinomial_parents(key, get_norm_weights(state), n_samples)
     return jax.tree_util.tree_map(lambda l: l[idx], state.traces)
 
 
@@ -233,28 +230,12 @@ def sample_unweighted_traces(key, state, n_samples: int) -> Trace:
 
 def batched_choice_entry(choices: ChoiceMap, addr, batch_axes: int = 1):
     """Resolve ``addr`` against a choicemap whose entries carry
-    ``batch_axes`` leading batch axes (the particle axis); int address
-    components index the combinator axes *after* the batch axes."""
-    comps = normalize_address(addr)
-    d = choices.entries
-    idxs = []
-    for c in comps:
-        if isinstance(c, int) and not any(k and k[0] == c for k in d):
-            idxs.append(c)
-        else:
-            d = {k[1:]: v for k, v in d.items() if k and k[0] == c}
-    e = d.get(())
+    ``batch_axes`` leading batch axes (the particle axis); thin wrapper
+    over :meth:`ChoiceMap.resolve`."""
+    e = choices.resolve(addr, batch_axes=batch_axes)
     if e is None:
         raise KeyError(addr)
-    sel = (slice(None),) * batch_axes + tuple(idxs)
-    value = jnp.asarray(e.value)[sel]
-    if e.mask is True:
-        mask = True
-    else:
-        m = jnp.asarray(e.mask, bool)
-        msel = tuple(s for s in sel[: m.ndim])
-        mask = m[msel]
-    return value, mask
+    return e.value, e.mask
 
 
 def batched_choice(state, addr):

@@ -156,3 +156,37 @@ def test_extend_through_nested_model():
         np.testing.assert_allclose(np.where(ma, a.astype(float), 0),
                                    np.where(ma, b.astype(float), 0),
                                    atol=1e-5)
+
+
+def test_extend_does_not_corrupt_sibling_unfolds():
+    """A fixed-length sibling Unfold must be untouched by Extend targeted
+    at another sub-call (code-review regression: blind propagation appended
+    phantom steps to every combinator)."""
+    @g.gen
+    def step(t, x):
+        return g.trace("x", g.normal(x, 1.0))
+
+    grow = g.Unfold(step, 6)
+    fixed = g.Unfold(step, 5)
+
+    @g.gen
+    def model(n):
+        g.trace("grow", grow, (n, jnp.float32(0.0)))
+        g.trace("fix", fixed, (5, jnp.float32(0.0)))
+
+    tr, _ = model.generate(jr.key(0), (2,))
+    obs = g.choicemap((("grow", 2, "x"), 0.3))
+    fast, wf, _, _ = g.update(jr.key(1), tr, (3,),
+                              (g.Extend(1, at="grow"),), obs)
+    slow, ws, _, _ = g.update(jr.key(1), tr, (3,), (g.UnknownChange(),), obs)
+    np.testing.assert_allclose(float(wf), float(ws), atol=1e-5)
+    np.testing.assert_allclose(float(fast.score), float(slow.score),
+                               atol=1e-5)
+    # the fixed chain's choices and score are bit-identical to the original
+    np.testing.assert_array_equal(
+        np.asarray(fast.get_choices()[("fix", "x")]),
+        np.asarray(tr.get_choices()[("fix", "x")]))
+    # a follow-up no-op update must report zero weight (score consistency)
+    noop, w0, _, _ = g.update(jr.key(2), fast, (3,), (g.UnknownChange(),),
+                              g.EMPTY)
+    np.testing.assert_allclose(float(w0), 0.0, atol=1e-4)
