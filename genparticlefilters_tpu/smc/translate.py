@@ -32,7 +32,8 @@ from ..core.choicemap import ChoiceMap, Entry, EMPTY, normalize_address
 from ..core.gfi import GenFn, Trace, UnknownChange, update as gfi_update
 
 __all__ = ["TraceTransform", "ExtendingTraceTranslator",
-           "UpdatingTraceTranslator", "check_round_trip"]
+           "UpdatingTraceTranslator", "GeneralTraceTranslator",
+           "check_round_trip"]
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +335,58 @@ class UpdatingTraceTranslator:
             prev_rt, fwd_rt, _, _ = inverter.run_transform(
                 k3, new_tr, bwd_tr)
             check_round_trip(prev_trace, prev_rt, fwd_trace, fwd_rt)
+        return new_tr, weight
+
+
+# ---------------------------------------------------------------------------
+# GeneralTraceTranslator — SMC across *different* models (schema changes)
+# ---------------------------------------------------------------------------
+
+class GeneralTraceTranslator:
+    """Move particles between two different generative functions (Gen's
+    ``GeneralTraceTranslator``; the capability behind the reference's
+    model-sequence SMC with ``dynamic=true``, src/initialize.jl:27-29 —
+    on TPU each model has its own fixed trace schema and this translator
+    maps states between schemas).
+
+    ``transform(old_choices, fwd_choices) -> (new_model_constraints,
+    bwd_choices)`` must constrain EVERY choice of ``new_model`` (the new
+    trace is generated fully constrained). Weight = score_new − score_old
+    + log|det J| − fwd_score + bwd_score.
+    """
+
+    def __init__(self, new_model: GenFn, new_args=(),
+                 q_forward: GenFn = None, q_forward_args=(),
+                 q_backward: GenFn = None, q_backward_args=(),
+                 transform: TraceTransform = None):
+        self.new_model = new_model
+        self.new_args = tuple(new_args)
+        self.q_forward = q_forward
+        self.q_forward_args = tuple(q_forward_args)
+        self.q_backward = q_backward
+        self.q_backward_args = tuple(q_backward_args)
+        self.transform = transform
+
+    def __call__(self, key, prev_trace: Trace, check: bool = False):
+        k1, k2, k3 = jr.split(key, 3)
+        logdet = jnp.asarray(0.0, jnp.float32)
+        fwd_score = jnp.asarray(0.0, jnp.float32)
+        fwd_choices = EMPTY
+        if self.q_forward is not None:
+            fwd_choices, fwd_score, _ = self.q_forward.propose(
+                k1, (prev_trace,) + self.q_forward_args)
+        constraints, bwd_constraints, logdet = (
+            self.transform.apply_updating(prev_trace.get_choices(),
+                                          fwd_choices))
+        new_tr, gen_w = self.new_model.generate(k2, self.new_args,
+                                                constraints)
+        bwd_score = jnp.asarray(0.0, jnp.float32)
+        if self.q_backward is not None:
+            bwd_tr, _ = self.q_backward.generate(
+                k3, (new_tr,) + self.q_backward_args, bwd_constraints)
+            bwd_score = bwd_tr.get_score()
+        weight = (new_tr.get_score() - prev_trace.get_score() + logdet
+                  - fwd_score + bwd_score)
         return new_tr, weight
 
 

@@ -125,3 +125,42 @@ def test_updating_translator_smcp3():
         ok1 = abs(float(w) - e1) < 1e-3
         ok2 = abs(float(w) - e2) < 1e-3
         assert ok1 or ok2, (float(w), e1, e2)
+
+
+def test_general_translator_across_models():
+    """Model-sequence SMC with a schema change: reparameterize
+    x ~ N(0, 2) (model A) into z ~ N(0, 1) with x = 2z (model B). The
+    pushforward is exact, so the translator weight must be identically 0."""
+    @g.gen
+    def model_a():
+        g.trace("x", g.normal(0.0, 2.0))
+
+    @g.gen
+    def model_b():
+        g.trace("z", g.normal(0.0, 1.0))
+
+    def a_to_b(prev, fwd):
+        return g.choicemap(("z", prev["x"] / 2.0)), g.EMPTY
+
+    transform = g.TraceTransform(
+        a_to_b, continuous_in=[("prev", "x")],
+        continuous_out=[("model", "z")])
+    translator = g.GeneralTraceTranslator(
+        new_model=model_b, new_args=(), transform=transform)
+
+    import jax
+    for i in range(10):
+        tr = model_a.simulate(jr.key(i), ())
+        new_tr, w = translator(jr.key(100 + i), tr)
+        x = float(np.asarray(tr["x"]))
+        np.testing.assert_allclose(float(np.asarray(new_tr["z"])), x / 2,
+                                   atol=1e-5)
+        # lp_N(0,1)(x/2) - lp_N(0,2)(x) + log|1/2| = 0 exactly
+        np.testing.assert_allclose(float(w), 0.0, atol=1e-4)
+
+    # and it vmaps across a particle state via pf_update(translator=...)
+    state = g.pf_initialize(jr.key(0), model_a, (), g.EMPTY, 64)
+    state2 = g.pf_update(jr.key(1), state, translator=translator,
+                         check=False)
+    np.testing.assert_allclose(np.asarray(state2.log_weights),
+                               np.asarray(state.log_weights), atol=1e-4)
