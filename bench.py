@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -89,6 +90,8 @@ def main():
     import numpy as np
 
     import jax
+    if os.environ.get("GPF_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -138,9 +141,9 @@ def main():
         f"{base_ups:,.0f} particle-updates/s")
 
     print(json.dumps({
-        "metric": "particle-updates/sec/chip, object-motion SSM, "
-                  "100K particles, T=10, ESS-triggered residual resampling "
-                  "+ MH rejuvenation",
+        "metric": f"particle-updates/sec/chip ({dev.platform}), object-motion"
+                  " SSM, 100K particles, T=10, ESS-triggered residual "
+                  "resampling + MH rejuvenation",
         "value": round(ups, 1),
         "unit": "particle-updates/s",
         "vs_baseline": round(ups / base_ups, 3),
@@ -148,4 +151,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os as _os
+    import subprocess
+
+    if _os.environ.get("GPF_BENCH_CPU") or _os.environ.get("GPF_BENCH_INNER"):
+        main()
+    else:
+        # watchdog: a wedged TPU backend hangs indefinitely over the axon
+        # tunnel; fall back to a CPU-JAX measurement rather than no output
+        env = dict(_os.environ, GPF_BENCH_INNER="1")
+        try:
+            r = subprocess.run([sys.executable, __file__], env=env,
+                               timeout=int(_os.environ.get(
+                                   "GPF_BENCH_TIMEOUT", "1800")))
+            sys.exit(r.returncode)
+        except subprocess.TimeoutExpired:
+            log("TPU bench timed out (backend likely wedged); "
+                "falling back to CPU JAX")
+            env = dict(_os.environ, GPF_BENCH_CPU="1")
+            sys.exit(subprocess.run([sys.executable, __file__],
+                                    env=env).returncode)

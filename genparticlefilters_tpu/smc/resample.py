@@ -190,7 +190,13 @@ def _gather_traces(traces, parents):
     packed = [c for c in cols if c is not None]
     if packed:
         big = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
+        # the barrier pins the packed [N, D] matrix: without it XLA rewrites
+        # gather-of-concat into per-leaf gathers, each paying a full
+        # (8,128)-tile read per row (~50x the logical bytes for [N, 10]
+        # leaves)
+        big = jax.lax.optimization_barrier(big)
         big = jnp.take(big, parents, axis=0)
+        big = jax.lax.optimization_barrier(big)
     out_leaves = []
     off = 0
     for l, c, (dtype, shape, width) in zip(leaves, cols, meta):
