@@ -94,3 +94,30 @@ def test_mot_filter_posterior():
     assert st2.n_particles == 2000
     np.testing.assert_allclose(float(g.log_ml_estimate(st2)),
                                float(g.log_ml_estimate(st)), atol=1e-3)
+
+
+def test_mot_data_association():
+    """MOT with unknown association: the filter must recover associations
+    when objects are well separated."""
+    from genparticlefilters_tpu.models.multi_object import (
+        make_mot_da_model, mot_da_particle_filter, mot_obs_at_t)
+    p = MOTParams(n_objects=3, q=0.05, r=0.1, s0=0.5)
+    # well-separated, identity-anchored truth with a known association
+    # permutation per step
+    key = jr.key(7)
+    x_true = jnp.asarray([[-4.0, 0.0], [0.0, 4.0], [4.0, -4.0]])
+    T_ = 5
+    perms = jnp.stack([jr.permutation(jr.fold_in(key, t), 3)
+                       for t in range(T_)])
+    y = x_true[perms] + 0.05 * jr.normal(jr.fold_in(key, 99), (T_, 3, 2))
+    st = jax.jit(mot_da_particle_filter,
+                 static_argnums=(2, 3, 4))(jr.key(8), y, 3000, T_, p,
+                                           0.5, x_true)
+    # posterior mode of assoc at the last step matches the generating perm
+    assoc = np.asarray(g.batched_choice(st, (T_ - 1, "assoc")))  # [N, 3]
+    w = np.asarray(g.get_norm_weights(st))
+    for j in range(3):
+        counts = np.zeros(3)
+        for o in range(3):
+            counts[o] = w[assoc[:, j] == o].sum()
+        assert counts.argmax() == int(perms[T_ - 1][j]), (j, counts, perms)
