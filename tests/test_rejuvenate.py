@@ -115,3 +115,29 @@ def test_mh_stationarity_uniform_slope():
     slopes = np.asarray(g.batched_choice(state, "slope"))
     counts = np.bincount(slopes + 2, minlength=5) / len(slopes)
     np.testing.assert_allclose(counts, 0.2, atol=0.08)
+
+
+def test_mh_involution():
+    """Involutive MH: a reflection x -> -x on a symmetric posterior must
+    accept always (weight 0) and preserve the distribution."""
+    @g.gen
+    def sym_model():
+        g.trace("x", g.normal(0.0, 1.0))
+
+    @g.gen
+    def dummy_prop(tr):
+        g.trace("u", g.bernoulli(0.5))
+
+    def reflect(trace, fwd_choices, fwd_ret, p_args):
+        x = trace["x"]
+        new_tr, w, _, _ = sym_model.update(
+            jr.key(0), trace, (), None, g.choicemap(("x", -x)))
+        return new_tr, g.choicemap(("u", fwd_choices["u"])), w
+
+    tr = sym_model.simulate(jr.key(1), ())
+    x0 = float(np.asarray(tr["x"]))
+    new_tr, accept = g.mh(jr.key(2), tr, dummy_prop, (), involution=reflect)
+    # symmetric target + symmetric aux => acceptance weight 0 => accept
+    assert bool(np.asarray(accept))
+    np.testing.assert_allclose(float(np.asarray(new_tr["x"])), -x0,
+                               atol=1e-6)
