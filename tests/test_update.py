@@ -140,3 +140,21 @@ def test_update_views():
     outl = np.asarray(g.batched_choice(state, ("line", 9, "outlier")))
     assert not outl[50:].any()
     assert bool(jnp.all(state.log_weights != 0))
+
+
+def test_update_fwd_bwd_stratified():
+    # ref: test/update.jl:77-89 — stratified Del Moral update
+    strata = [outlier_choicemap(1, False), outlier_choicemap(1, True)]
+    state = g.pf_initialize(jr.key(0), line_model, (0,), g.choicemap(), 100)
+    state = g.pf_update(jr.key(1), state, (2,), (g.UnknownChange(),),
+                        line_choicemap(2), strata=strata,
+                        proposal=make_outlier_propose([1], p=0.0),
+                        proposal_args=(),
+                        bwd_proposal=make_outlier_propose([1], p=0.1),
+                        bwd_args=())
+    outl0 = np.asarray(g.batched_choice(state, ("line", 0, "outlier")))
+    outl1 = np.asarray(g.batched_choice(state, ("line", 1, "outlier")))
+    for k, val in enumerate([False, True]):
+        assert (outl0[k::2] == val).all()
+    assert not outl1.any()
+    assert bool(jnp.all(state.log_weights != 0))
