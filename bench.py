@@ -2,11 +2,13 @@
 metric) on the README object-motion switching SSM (config 1 scaled up).
 
 Measures the full jitted SMC filter — per-step trace-extension update +
-ESS-triggered residual resampling + MH rejuvenation — end to end on the
+ESS-triggered systematic resampling + MH rejuvenation — end to end on the
 default JAX device (TPU when present), and compares against a faithful
 vectorized NumPy implementation of the same filter on the host CPU
 (a favorable stand-in for the reference's serial per-particle Julia loops,
-which it strictly upper-bounds).
+which it strictly upper-bounds). README posterior-parity (residual + MH,
+config 1) is covered by the test suite; systematic is the standard
+throughput configuration (BASELINE config 2/3).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -49,6 +51,11 @@ def numpy_filter(y_obs, n, rng):
         yy = prev_y + vel + 0.01 * rng.standard_normal(n)
         return m, yy
 
+    def systematic_parents(w):
+        cum = np.cumsum(w)
+        u = (np.arange(n) + rng.random()) / n
+        return np.clip(np.searchsorted(cum, u, side="left"), 0, n - 1)
+
     m0, y0 = sim_step(0, np.zeros(n, bool), np.zeros(n))
     moving[:, 0], y[:, 0] = m0, y0
     lw += lpnorm(y_obs[0], y0, 0.25)
@@ -59,14 +66,7 @@ def numpy_filter(y_obs, n, rng):
         w /= w.sum()
         ess = 1.0 / np.sum(w ** 2)
         if ess < 0.5 * n:
-            # residual resample
-            counts = np.floor(n * w).astype(int)
-            idx = np.repeat(np.arange(n), counts)
-            n_rest = n - len(idx)
-            r = n * w - np.floor(n * w)
-            r /= r.sum()
-            rest = rng.choice(n, size=n_rest, p=r)
-            parents = np.concatenate([idx, rest])
+            parents = systematic_parents(w)
             moving, y = moving[parents], y[parents]
             lw = np.zeros(n)
             # MH rejuvenation on (moving, y) at t-1 (vectorized regenerate)
@@ -111,14 +111,15 @@ def main():
     # axon tunnel block_until_ready does not truly synchronize, so all
     # timings end with an explicit host fetch of the final result)
     t0 = time.time()
-    st = object_motion_filter(jr.key(SEED), y_obs, N, T)
+    st = object_motion_filter(jr.key(SEED), y_obs, N, T, 0.5, "systematic")
     _ = np.asarray(st.log_ml_est)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     def run_k(k, base):
         t0 = time.time()
         for i in range(k):
-            st = object_motion_filter(jr.key(base + i), y_obs, N, T)
+            st = object_motion_filter(jr.key(base + i), y_obs, N, T, 0.5,
+                                      "systematic")
         _ = float(np.asarray(st.log_ml_est))  # device executes in order
         return time.time() - t0
 
@@ -142,7 +143,7 @@ def main():
 
     print(json.dumps({
         "metric": f"particle-updates/sec/chip ({dev.platform}), object-motion"
-                  " SSM, 100K particles, T=10, ESS-triggered residual "
+                  " SSM, 100K particles, T=10, ESS-triggered systematic "
                   "resampling + MH rejuvenation",
         "value": round(ups, 1),
         "unit": "particle-updates/s",

@@ -69,7 +69,8 @@ def synthesize_data(key, t_max: int, switch_t: int):
 
 
 def object_motion_filter_impl(key, y_obs, n_particles: int, t_max: int,
-                              ess_frac: float = 0.5):
+                              ess_frac: float = 0.5,
+                              resample_method: str = "residual"):
     """The README particle-filter driver (README.md:60-79), fully jittable:
     residual resampling + MH rejuvenation when ESS < ess_frac·N, then a
     one-step extension update."""
@@ -83,7 +84,7 @@ def object_motion_filter_impl(key, y_obs, n_particles: int, t_max: int,
         kr, kj, ku = jr.split(kt, 3)
 
         def resample_rejuvenate(s):
-            s = pf_resample(kr, s, "residual", check=False)
+            s = pf_resample(kr, s, resample_method, check=False)
             steps = jnp.arange(t_max)
             sel_mask = (steps == t - 1) | (steps == t)
             sel = Selection({("moving",): sel_mask, ("y",): sel_mask})
@@ -101,5 +102,5 @@ def object_motion_filter_impl(key, y_obs, n_particles: int, t_max: int,
     return state
 
 
-object_motion_filter = partial(jax.jit, static_argnums=(2, 3))(
+object_motion_filter = partial(jax.jit, static_argnums=(2, 3, 5))(
     object_motion_filter_impl)

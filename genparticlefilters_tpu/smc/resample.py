@@ -155,22 +155,14 @@ def systematic_parents(key, weights, n_out: int | None = None,
 # State-level resampling
 # ---------------------------------------------------------------------------
 
-def _gather_traces(traces, parents):
-    """Ancestry gather ``traces[parents]`` over the particle axis.
-
-    Instead of one narrow gather per pytree leaf (dozens of gathers moving a
-    handful of bytes per row — the TPU gather unit is element-rate-limited),
-    all 4-byte leaves are flattened and concatenated into a single [N, D]
-    matrix, gathered in ONE wide row-gather (D lanes per row), and split
-    back. 5-10x faster than the naive per-leaf gather at N=100K.
-    """
-    leaves, treedef = jax.tree_util.tree_flatten(traces)
-    n = parents.shape[0]
-    cols = []
-    meta = []  # (dtype, shape, width)
+def _pack_leaves(leaves):
+    """Flatten 4-byte leaves into one [N, D] int32 matrix; returns
+    (cols, meta) where meta = (dtype, shape, width) per leaf (width 0 for
+    leaves gathered directly)."""
+    cols, meta = [], []
     for l in leaves:
-        if l.ndim == 0 or jnp.issubdtype(l.dtype, jnp.floating) and l.dtype != jnp.float32:
-            # odd leaf (scalar or non-4-byte float): gather directly
+        if l.ndim == 0 or (jnp.issubdtype(l.dtype, jnp.floating)
+                           and l.dtype != jnp.float32):
             cols.append(None)
             meta.append((l.dtype, l.shape, 0))
             continue
@@ -187,16 +179,10 @@ def _gather_traces(traces, parents):
         flat = flat.reshape(l.shape[0], -1)
         cols.append(flat)
         meta.append((l.dtype, l.shape, flat.shape[1]))
-    packed = [c for c in cols if c is not None]
-    if packed:
-        big = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
-        # the barrier pins the packed [N, D] matrix: without it XLA rewrites
-        # gather-of-concat into per-leaf gathers, each paying a full
-        # (8,128)-tile read per row (~50x the logical bytes for [N, 10]
-        # leaves)
-        big = jax.lax.optimization_barrier(big)
-        big = jnp.take(big, parents, axis=0)
-        big = jax.lax.optimization_barrier(big)
+    return cols, meta
+
+
+def _unpack_leaves(big, leaves, cols, meta, parents, n):
     out_leaves = []
     off = 0
     for l, c, (dtype, shape, width) in zip(leaves, cols, meta):
@@ -207,13 +193,48 @@ def _gather_traces(traces, parents):
         off += width
         new_shape = (n,) + shape[1:]
         if dtype == jnp.float32:
-            out_leaves.append(
-                jax.lax.bitcast_convert_type(seg, jnp.float32).reshape(
-                    new_shape))
+            out_leaves.append(jax.lax.bitcast_convert_type(
+                seg, jnp.float32).reshape(new_shape))
         elif dtype == jnp.bool_:
             out_leaves.append((seg != 0).reshape(new_shape))
         else:
             out_leaves.append(seg.astype(dtype).reshape(new_shape))
+    return out_leaves
+
+
+def _gather_traces(traces, parents, clustered: bool = False):
+    """Ancestry gather ``traces[parents]`` over the particle axis.
+
+    All 4-byte leaves are flattened and concatenated into a single [N, D]
+    matrix, gathered in ONE row-gather, and split back (an optimization
+    barrier pins the packed form — XLA would otherwise rewrite it into
+    per-leaf gathers, each paying a full (8,128)-tile read per row).
+
+    With ``clustered=True`` (non-decreasing parents from offspring-count
+    resampling) and ``config.clustered_gather`` enabled, the row-gather is
+    the Pallas ranged-DMA kernel (ops/sorted_gather.py), which replaces
+    per-row tile reads with sequential range reads + an exact one-hot MXU
+    select.
+    """
+    from .. import config as _config
+    leaves, treedef = jax.tree_util.tree_flatten(traces)
+    n = parents.shape[0]
+    cols, meta = _pack_leaves(leaves)
+    packed = [c for c in cols if c is not None]
+    big = None
+    if packed:
+        big = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
+        use_pallas = (clustered and _config.clustered_gather
+                      and n % 256 == 0
+                      and jax.devices()[0].platform == "tpu")
+        if use_pallas:
+            from ..ops.sorted_gather import gather_rows_clustered
+            big = gather_rows_clustered(big, parents)
+        else:
+            big = jax.lax.optimization_barrier(big)
+            big = jnp.take(big, parents, axis=0)
+            big = jax.lax.optimization_barrier(big)
+    out_leaves = _unpack_leaves(big, leaves, cols, meta, parents, n)
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
 
 
@@ -235,7 +256,8 @@ def _new_weights_sub(n, log_weights, log_priorities, parents, custom):
     return lw + (logsumexp(log_weights) - logsumexp(lw))
 
 
-def _resample_impl(key, state, parent_fn, priority_fn, check):
+def _resample_impl(key, state, parent_fn, priority_fn, check,
+                   clustered: bool = False):
     is_sub = isinstance(state, ParticleFilterSubState)
     log_weights = state.log_weights
     n = state.n_particles
@@ -245,7 +267,8 @@ def _resample_impl(key, state, parent_fn, priority_fn, check):
     apply_check(invalid, check)
 
     parents = parent_fn(key, weights, log_priorities)
-    new_traces = _gather_traces(state.traces, parents)
+    new_traces = _gather_traces(state.traces, parents,
+                                clustered=clustered and not is_sub)
     if is_sub:
         new_lw = _new_weights_sub(n, log_weights, log_priorities, parents,
                                   custom)
@@ -279,7 +302,7 @@ def pf_stratified_resample(key, state, priority_fn=None, check="warn",
         key, state,
         lambda k, w, lp: stratified_parents(
             k, w, log_priorities=lp, sort_particles=sort_particles),
-        priority_fn, check)
+        priority_fn, check, clustered=not sort_particles)
 
 
 def pf_systematic_resample(key, state, priority_fn=None, check="warn",
@@ -288,7 +311,7 @@ def pf_systematic_resample(key, state, priority_fn=None, check="warn",
         key, state,
         lambda k, w, lp: systematic_parents(
             k, w, log_priorities=lp, sort_particles=sort_particles),
-        priority_fn, check)
+        priority_fn, check, clustered=not sort_particles)
 
 
 _METHODS = {
