@@ -51,6 +51,34 @@ def _and_lead(mask, active, value_ndim):
 
 
 
+
+def _onehot_read(leaf, t, T):
+    """Read ``leaf[t]`` (t traced) without a lane-dynamic gather: one-hot
+    mask + reduce. On TPU a dynamic index on the minor (time) axis lowers
+    ~60x off bandwidth-bound; the masked reduce is a fused elementwise op."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, (T,), 0) == t
+    sel = sel.reshape((T,) + (1,) * (jnp.ndim(leaf) - 1))
+    if leaf.dtype == jnp.bool_:
+        return jnp.any(jnp.logical_and(leaf, sel), axis=0)
+    return jnp.sum(jnp.where(sel, leaf, 0), axis=0).astype(leaf.dtype)
+
+
+def _onehot_write(leaf, t, value, T):
+    """``leaf.at[t].set(value)`` (t traced) as a masked elementwise select."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, (T,), 0) == t
+    sel = sel.reshape((T,) + (1,) * (jnp.ndim(leaf) - 1))
+    return jnp.where(sel, jnp.asarray(value, leaf.dtype), leaf)
+
+
+def _tree_read_at(tree, t, T):
+    return jax.tree_util.tree_map(lambda l: _onehot_read(l, t, T), tree)
+
+
+def _tree_write_at(tree, t, values, T):
+    return jax.tree_util.tree_map(
+        lambda l, v: _onehot_write(l, t, v, T), tree, values)
+
+
 def _slim_steps(steps: Trace) -> Trace:
     """Drop per-step args/retval from stacked step traces: they are
     reconstructed on every interpretation (args) or stacked separately as
@@ -346,9 +374,7 @@ class Unfold(GenFn):
 
         # carry state entering step t_old (stored stacked retval at t_old-1)
         idx_prev = jnp.maximum(t_old - 1, 0)
-        prev_state = jax.tree_util.tree_map(
-            lambda l: jax.lax.dynamic_index_in_dim(l, idx_prev, keepdims=False),
-            tr.retval)
+        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
         state = _tree_where(t_old > 0, prev_state, state0)
 
         steps = old_steps
@@ -356,28 +382,17 @@ class Unfold(GenFn):
         score_add = jnp.asarray(0.0, jnp.float32)
         logq = jnp.asarray(0.0, jnp.float32)
         proto = self.step.mask_trace(
-            jax.tree_util.tree_map(
-                lambda l: jax.lax.dynamic_index_in_dim(l, idx_prev,
-                                                       keepdims=False),
-                old_steps),
+            _tree_read_at(old_steps, idx_prev, self.T),
             False)  # structurally identical step trace, masked fully absent
         for j in range(int(k)):
             t = t_old + j
-            step_c = jax.tree_util.tree_map(
-                lambda l: jax.lax.dynamic_index_in_dim(l, t, keepdims=False),
-                dense)
+            step_c = _tree_read_at(dense, t, self.T)
             kj = jr.fold_in(key, t)
             new_step, logq_t, _ = self.step._update(
                 kj, proto, (t, state) + params, step_c)
             state = new_step.retval
-            steps = jax.tree_util.tree_map(
-                lambda stk, s: jax.lax.dynamic_update_index_in_dim(
-                    stk, jnp.asarray(s, stk.dtype), t, 0),
-                steps, _slim_steps(new_step))
-            retvals = jax.tree_util.tree_map(
-                lambda stk, s: jax.lax.dynamic_update_index_in_dim(
-                    stk, jnp.asarray(s, stk.dtype), t, 0),
-                retvals, state)
+            steps = _tree_write_at(steps, t, _slim_steps(new_step), self.T)
+            retvals = _tree_write_at(retvals, t, state, self.T)
             score_add = score_add + new_step.score
             logq = logq + logq_t
 
@@ -446,10 +461,7 @@ class Unfold(GenFn):
 
         t_start = t_old - k
         idx_prev = jnp.maximum(t_start - 1, 0)
-        prev_state = jax.tree_util.tree_map(
-            lambda l: jax.lax.dynamic_index_in_dim(l, idx_prev,
-                                                   keepdims=False),
-            tr.retval)
+        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
         state = _tree_where(t_start > 0, prev_state, state0)
 
         steps = old_steps
@@ -461,37 +473,26 @@ class Unfold(GenFn):
             t = t_start + j
             t_c = jnp.clip(t, 0, self.T - 1)
             active_j = jnp.logical_and(t >= 0, t < t_old)
-            old_step = jax.tree_util.tree_map(
-                lambda l: jax.lax.dynamic_index_in_dim(l, t_c,
-                                                       keepdims=False),
-                old_steps)
+            old_step = _tree_read_at(old_steps, t_c, self.T)
             step_sel = (dsel if dsel.all_ else Selection(
                 {k2: (m if isinstance(m, bool) else
-                      jax.lax.dynamic_index_in_dim(m, t_c, keepdims=False))
+                      _onehot_read(jnp.asarray(m), t_c, self.T))
                  for k2, m in dsel.entries.items()}))
             kj = jr.fold_in(key, t_c)
             new_step, sn_t, so_t = self.step._regenerate(
                 kj, old_step, (t_c, state) + params, step_sel)
-            new_slim = _slim_steps(new_step)
             write = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(active_j, jnp.asarray(
                     new, jnp.asarray(old).dtype), old),
-                new_slim, jax.tree_util.tree_map(
-                    lambda l: jax.lax.dynamic_index_in_dim(
-                        l, t_c, keepdims=False), old_steps))
-            steps = jax.tree_util.tree_map(
-                lambda stk, s: jax.lax.dynamic_update_index_in_dim(
-                    stk, jnp.asarray(s, stk.dtype), t_c, 0),
-                steps, write)
+                _slim_steps(new_step), old_step)
+            steps = _tree_write_at(steps, t_c, write, self.T)
             state = _tree_where(active_j, new_step.retval, state)
-            retvals = jax.tree_util.tree_map(
-                lambda stk, s: jax.lax.dynamic_update_index_in_dim(
-                    stk, jnp.where(active_j, jnp.asarray(s, stk.dtype),
-                                   jax.lax.dynamic_index_in_dim(
-                                       stk, t_c, keepdims=False)), t_c, 0),
-                retvals, state)
-            old_score_t = jax.lax.dynamic_index_in_dim(
-                old_steps.score, t_c, keepdims=False)
+            retvals = _tree_write_at(
+                retvals, t_c,
+                _tree_where(active_j, state, _tree_read_at(retvals, t_c,
+                                                           self.T)),
+                self.T)
+            old_score_t = _onehot_read(old_steps.score, t_c, self.T)
             score_delta = score_delta + jnp.where(
                 active_j, new_step.score - old_score_t, 0.0)
             sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
