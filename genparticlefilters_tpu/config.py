@@ -4,13 +4,14 @@ from __future__ import annotations
 
 import contextlib
 
-#: Use the Pallas ranged-DMA clustered gather (ops/sorted_gather.py) for the
+#: Use the fused Pallas clustered gather+unpack (ops/fused_gather.py) for the
 #: resampling ancestry gather when parents are non-decreasing
-#: (systematic/stratified with sort_particles=False). Single-chip only — a
-#: pallas_call does not partition under automatic sharding; leave False for
-#: states sharded with jax.sharding (shard-local resampling in parallel/
-#: keeps the XLA gather).
-clustered_gather: bool = False
+#: (systematic/stratified with sort_particles=False); measured ~4x over the
+#: XLA take-then-unpack path on v5e at N=100K. Per-chip only — a pallas_call
+#: does not partition under GSPMD auto-sharding; set False when resampling a
+#: full state whose particle axis is sharded with jax.sharding (the
+#: shard-local ops in parallel/ are unaffected — they never take this path).
+clustered_gather: bool = True
 
 
 @contextlib.contextmanager
