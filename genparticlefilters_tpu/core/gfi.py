@@ -168,6 +168,24 @@ class GenFn:
         weight = (new_tr.score - sel_new) - (tr.score - sel_old)
         return new_tr, weight
 
+    def regenerate_delta(self, key, tr: Trace, new_args, argdiffs,
+                         selection: Selection, window: int | None = None):
+        """Like :meth:`regenerate`, but returns ``(delta, weight)`` where
+        ``delta`` is applied later with :meth:`apply_regenerate_delta` under
+        an accept mask — this lets MH kernels avoid materializing a full
+        rejected trace and a whole-trace select (the dominant cost of
+        windowed rejuvenation on stacked combinator traces). Default delta
+        = the full new trace."""
+        return self.regenerate(key, tr, new_args, argdiffs, selection,
+                               window=window)
+
+    def apply_regenerate_delta(self, tr: Trace, delta, accept):
+        """Produce the accepted-or-original trace from a regenerate delta.
+        Default: elementwise select between the two full traces."""
+        import jax.numpy as _jnp
+        return jax.tree_util.tree_map(
+            lambda a, b: _jnp.where(accept, a, b), delta, tr)
+
     # -- internal protocol (used by masked combinators) -------------------
     def _update(self, key, tr, new_args, constraints, argdiffs=None):
         """Returns (new_trace, logq_fresh, discard)."""

@@ -83,9 +83,17 @@ def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
     k1, k2, k3 = jr.split(key, 3)
     args = trace.get_args()
     if isinstance(selection_or_proposal, Selection):
-        new_tr, w = trace.gen_fn.regenerate(
+        # delta protocol: defer materializing the proposed trace until the
+        # accept mask is known — one fused masked write instead of a full
+        # proposed trace + whole-trace select (see GenFn.regenerate_delta)
+        delta, w = trace.gen_fn.regenerate_delta(
             k1, trace, args, _nochange(args), selection_or_proposal,
             window=window)
+        accept = jnp.log(jr.uniform(k3, (), jnp.float32)) < w
+        out = trace.gen_fn.apply_regenerate_delta(trace, delta, accept)
+        if check:
+            check_observations(out.get_choices(), observations)
+        return out, accept
     elif involution is not None:
         proposal: GenFn = selection_or_proposal
         p_args = tuple(proposal_args or ())
@@ -163,6 +171,11 @@ def _sweeps(key, traces, kern, kern_args, n_iters, kwargs):
     keys = jr.split(key, n)
 
     def per_particle(k, tr):
+        if n_iters == 1:  # skip the scan wrapper (avoids carry copies)
+            tr2, aux = kern(jr.fold_in(k, 0), tr, *kern_args, **kwargs)
+            aux_f = jnp.asarray(aux, jnp.float32)
+            return tr2, aux_f, aux_f[None]
+
         def body(carry, i):
             tr, acc = carry
             ki = jr.fold_in(k, i)
