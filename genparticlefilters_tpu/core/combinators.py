@@ -34,6 +34,22 @@ def _tree_where(cond, a, b):
         lambda x, y: jnp.where(cond, x, y), a, b)
 
 
+def _inner(steps, t, outer_mask=True):
+    """Unfold trace payload. The ``outer_mask`` key exists ONLY when the
+    mask is non-trivial: a Python ``True`` stored as a pytree leaf would be
+    canonicalized to a traced array by any jit/scan boundary, silently
+    failing the ``is True`` static gates (and with them the O(1) Extend and
+    O(window) regenerate fast paths) for every state carried through
+    ``lax.scan`` — the absent-key form keeps "unmasked" in the treedef."""
+    if outer_mask is True:
+        return {"steps": steps, "t": t}
+    return {"steps": steps, "t": t, "outer_mask": outer_mask}
+
+
+def _outer_mask(tr):
+    return tr.inner.get("outer_mask", True)
+
+
 def _and_lead(mask, active, value_ndim):
     """AND an entry mask (broadcastable over leading axes) with a leading-axis
     mask ``active`` of shape [T]."""
@@ -233,8 +249,7 @@ class Unfold(GenFn):
         _, (steps, states) = lax.scan(body, state0, ts)
         active = self._active(t_active, True)
         score = jnp.sum(jnp.where(active, steps.score, 0.0))
-        inner = {"steps": _slim_steps(steps), "t": t_active,
-                 "outer_mask": True}
+        inner = _inner(_slim_steps(steps), t_active)
         return Trace(self, args, states, score, inner)
 
     def generate(self, key, args, constraints: ChoiceMap = EMPTY):
@@ -254,8 +269,7 @@ class Unfold(GenFn):
         active = self._active(t_active, True)
         score = jnp.sum(jnp.where(active, steps.score, 0.0))
         weight = jnp.sum(jnp.where(active, ws, 0.0))
-        inner = {"steps": _slim_steps(steps), "t": t_active,
-                 "outer_mask": True}
+        inner = _inner(_slim_steps(steps), t_active)
         return Trace(self, args, states, score, inner), weight
 
     def assess(self, args, choices: ChoiceMap):
@@ -305,12 +319,12 @@ class Unfold(GenFn):
         if (argdiffs is not None and len(argdiffs) >= 1
                 and isinstance(argdiffs[0], Extend)
                 and all(isinstance(d, NoChange) for d in argdiffs[1:])
-                and tr.inner["outer_mask"] is True):
+                and _outer_mask(tr) is True):
             return self._update_extend(key, tr, new_args, constraints,
                                        argdiffs[0].k)
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
-        outer_mask = tr.inner["outer_mask"]
+        outer_mask = _outer_mask(tr)
         old_steps = tr.inner["steps"]
         dense = self._slice_cm(self._densify(constraints))
         ts = jnp.arange(self.T, dtype=jnp.int32)
@@ -349,7 +363,7 @@ class Unfold(GenFn):
             shrink_cm_entries[k2] = Entry(
                 e.value, _and_lead(e.mask, shrink, jnp.ndim(e.value)))
         discard = ChoiceMap(disc_entries).merge(ChoiceMap(shrink_cm_entries))
-        inner = {"steps": _slim_steps(steps), "t": t_new, "outer_mask": True}
+        inner = _inner(_slim_steps(steps), t_new)
         new_tr = Trace(self, new_args, states, score, inner)
         # adjust logq: caller computes weight = new.score - old.score - logq,
         # where old.score was computed with the *old* masks. Consistent.
@@ -405,18 +419,18 @@ class Unfold(GenFn):
                     (self.T,) + (1,) * (jnp.ndim(stk) - 1)),
                 jnp.asarray(last, stk.dtype), stk),
             retvals, state)
-        inner = {"steps": steps, "t": t_new, "outer_mask": True}
+        inner = _inner(steps, t_new)
         new_tr = Trace(self, new_args, retvals, tr.score + score_add, inner)
         return new_tr, logq, ChoiceMap({})
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
                     window=None):
-        if (window is not None and tr.inner["outer_mask"] is True):
+        if (window is not None and _outer_mask(tr) is True):
             return self._regenerate_window(key, tr, new_args, selection,
                                            int(window))
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
-        outer_mask = tr.inner["outer_mask"]
+        outer_mask = _outer_mask(tr)
         old_steps = tr.inner["steps"]
         dsel, sel_static = self._slice_sel(self._densify_selection(selection))
         ts = jnp.arange(self.T, dtype=jnp.int32)
@@ -444,7 +458,7 @@ class Unfold(GenFn):
         score = jnp.sum(jnp.where(a_new, steps.score, 0.0))
         sel_new = jnp.sum(jnp.where(a_new, sns, 0.0))
         sel_old = jnp.sum(jnp.where(a_new, sos, 0.0))
-        inner = {"steps": _slim_steps(steps), "t": t_new, "outer_mask": True}
+        inner = _inner(_slim_steps(steps), t_new)
         return Trace(self, new_args, states, score, inner), sel_new, sel_old
 
     def regenerate_delta(self, key, tr: Trace, new_args, argdiffs,
@@ -455,7 +469,7 @@ class Unfold(GenFn):
         the accept mask into one fused masked-column write per leaf. This
         keeps an MH sweep at ~2 full passes over the stacked trace instead
         of ~6 (write-back per window step + whole-trace accept select)."""
-        if window is None or tr.inner["outer_mask"] is not True:
+        if window is None or _outer_mask(tr) is not True:
             return super().regenerate_delta(key, tr, new_args, argdiffs,
                                             selection, window=window)
         k = int(window)
@@ -536,7 +550,7 @@ class Unfold(GenFn):
         retvals = jax.tree_util.tree_map(
             write_retvals, tr.retval, last, *col_states)
         score = tr.score + jnp.where(accept, delta["score_delta"], 0.0)
-        inner = {"steps": steps, "t": t_old, "outer_mask": True}
+        inner = _inner(steps, t_old)
         return Trace(self, delta["new_args"], retvals, score, inner)
 
     def _regenerate_window(self, key, tr: Trace, new_args,
@@ -597,13 +611,13 @@ class Unfold(GenFn):
                     (self.T,) + (1,) * (jnp.ndim(stk) - 1)),
                 jnp.asarray(last, stk.dtype), stk),
             retvals, state)
-        inner = {"steps": steps, "t": t_old, "outer_mask": True}
+        inner = _inner(steps, t_old)
         new_tr = Trace(self, new_args, retvals, tr.score + score_delta, inner)
         return new_tr, sel_new, sel_old
 
     # -- structure --------------------------------------------------------
     def trace_choices(self, tr: Trace) -> ChoiceMap:
-        active = self._active(tr.inner["t"], tr.inner["outer_mask"])
+        active = self._active(tr.inner["t"], _outer_mask(tr))
         stacked = self.step.trace_choices(tr.inner["steps"])
         out = {}
         for k, e in stacked.entries.items():
@@ -611,15 +625,14 @@ class Unfold(GenFn):
         return ChoiceMap(out)
 
     def mask_trace(self, tr: Trace, m) -> Trace:
-        om = tr.inner["outer_mask"]
+        om = _outer_mask(tr)
         if m is True:
             new_om = om
         elif om is True:
             new_om = m
         else:
             new_om = jnp.logical_and(om, m)
-        inner = {"steps": tr.inner["steps"], "t": tr.inner["t"],
-                 "outer_mask": new_om}
+        inner = _inner(tr.inner["steps"], tr.inner["t"], new_om)
         return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
 
 

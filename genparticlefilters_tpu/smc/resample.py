@@ -32,7 +32,7 @@ from .state import ParticleFilterState, ParticleFilterSubState
 __all__ = ["pf_resample", "pf_multinomial_resample", "pf_residual_resample",
            "pf_stratified_resample", "pf_systematic_resample",
            "multinomial_parents", "residual_parents", "stratified_parents",
-           "systematic_parents"]
+           "systematic_parents", "stratified_F", "systematic_F"]
 
 
 # ---------------------------------------------------------------------------
@@ -93,24 +93,53 @@ def counts_to_parents(counts, n_out: int):
     return jax.lax.cummax(seeded).astype(jnp.int32)
 
 
-def _strata_counts(cdf_hits, n_out: int):
-    """counts_i = F_i − F_{i−1} with the total pinned to n_out (guards f32
-    cumsum roundoff in the last slot)."""
+def _pinned_F(cdf_hits, n_out: int):
+    """Monotone cumulative hit counts with total pinned to n_out (guards f32
+    cumsum roundoff in the last slot). ``F_i`` = number of output slots with
+    parent <= i; output j's parent is ``#{i : F_i <= j}``."""
     F = jnp.clip(cdf_hits, 0, n_out).at[-1].set(n_out)
-    F = jax.lax.cummax(F)  # enforce monotone under roundoff
+    return jax.lax.cummax(F)  # enforce monotone under roundoff
+
+
+def _strata_counts(cdf_hits, n_out: int):
+    """counts_i = F_i − F_{i−1} from the pinned cumulative hits."""
+    F = _pinned_F(cdf_hits, n_out)
     prev = jnp.concatenate([jnp.zeros((1,), F.dtype), F[:-1]])
     return F - prev
+
+
+def stratified_F(key, weights, n_out: int | None = None):
+    """Pinned cumulative hit counts for stratified resampling: one uniform
+    per stratum [i/n,(i+1)/n); F_i = ⌊c_i⌋ + [v_{⌊c_i⌋} ≤ c_i − ⌊c_i⌋] with
+    c_i = n·cumsum(w)_i — one gather instead of a sort-based search."""
+    n_out = weights.shape[0] if n_out is None else n_out
+    v = jr.uniform(key, (n_out,), dtype=jnp.float32)
+    c = n_out * jnp.cumsum(weights)
+    m = jnp.floor(c).astype(jnp.int32)
+    mc = jnp.clip(m, 0, n_out - 1)
+    frac_hit = (v[mc] <= c - m.astype(jnp.float32)) & (m < n_out)
+    F = jnp.clip(m, 0, n_out) + frac_hit.astype(jnp.int32)
+    return _pinned_F(F, n_out)
+
+
+def systematic_F(key, weights, n_out: int | None = None):
+    """Pinned cumulative hit counts for systematic resampling: single shared
+    uniform; F_i = ⌊n·cumsum(w)_i − u0⌋ + 1."""
+    n_out = weights.shape[0] if n_out is None else n_out
+    u0 = jr.uniform(key, (), dtype=jnp.float32)
+    c = n_out * jnp.cumsum(weights) - u0
+    return _pinned_F(jnp.floor(c).astype(jnp.int32) + 1, n_out)
+
+
+def _F_to_parents(F, n_out: int):
+    prev = jnp.concatenate([jnp.zeros((1,), F.dtype), F[:-1]])
+    return counts_to_parents(F - prev, n_out)
 
 
 def stratified_parents(key, weights, n_out: int | None = None,
                        log_priorities=None, sort_particles: bool = True):
     """One uniform per stratum [i/n,(i+1)/n), optional sort by weight desc
-    first (ref: src/resample.jl:154-170).
-
-    Closed form: with u_j = (j+v_j)/n and c_i = n·cumsum(w)_i, the number of
-    strata hitting particles ≤ i is F_i = ⌊c_i⌋ + [v_{⌊c_i⌋} ≤ c_i − ⌊c_i⌋]
-    — one gather instead of a sort-based search.
-    """
+    first (ref: src/resample.jl:154-170)."""
     n = weights.shape[0]
     n_out = n if n_out is None else n_out
     if sort_particles:
@@ -120,21 +149,14 @@ def stratified_parents(key, weights, n_out: int | None = None,
     else:
         order = None
         w = weights
-    v = jr.uniform(key, (n_out,), dtype=jnp.float32)
-    c = n_out * jnp.cumsum(w)
-    m = jnp.floor(c).astype(jnp.int32)
-    mc = jnp.clip(m, 0, n_out - 1)
-    frac_hit = (v[mc] <= c - m.astype(jnp.float32)) & (m < n_out)
-    F = jnp.clip(m, 0, n_out) + frac_hit.astype(jnp.int32)
-    parents = counts_to_parents(_strata_counts(F, n_out), n_out)
+    parents = _F_to_parents(stratified_F(key, w, n_out), n_out)
     return parents if order is None else order[parents]
 
 
 def systematic_parents(key, weights, n_out: int | None = None,
                        log_priorities=None, sort_particles: bool = False):
     """Single shared uniform offset across all strata (lowest-variance
-    single-pass scheme; companion to stratified). Sort-free closed form:
-    F_i = ⌊n·cumsum(w)_i − u0⌋ + 1."""
+    single-pass scheme; companion to stratified)."""
     n = weights.shape[0]
     n_out = n if n_out is None else n_out
     if sort_particles:
@@ -144,10 +166,7 @@ def systematic_parents(key, weights, n_out: int | None = None,
     else:
         order = None
         w = weights
-    u0 = jr.uniform(key, (), dtype=jnp.float32)
-    c = n_out * jnp.cumsum(w) - u0
-    F = jnp.floor(c).astype(jnp.int32) + 1
-    parents = counts_to_parents(_strata_counts(F, n_out), n_out)
+    parents = _F_to_parents(systematic_F(key, w, n_out), n_out)
     return parents if order is None else order[parents]
 
 
@@ -229,29 +248,7 @@ def _gather_traces(traces, parents, clustered: bool = False):
         big = jax.lax.optimization_barrier(big)
         from ..ops.fused_gather import gather_transposed_clustered
         bigT = gather_transposed_clustered(big, parents)  # [D, n] lane-dense
-        out_leaves = []
-        off = 0
-        for l, c, (dtype, shape, width) in zip(leaves, cols, meta):
-            if c is None:
-                out_leaves.append(l[parents] if l.ndim > 0 else l)
-                continue
-            new_shape = (n,) + shape[1:]
-            seg = bigT[off] if width == 1 else bigT[off:off + width]
-            off += width
-            # convert dtype in the transposed (lane-dense) orientation —
-            # bitcast/compare are free there — THEN transpose, so XLA sees a
-            # bare transpose it can fuse into one multi-output pass
-            if dtype == jnp.float32:
-                seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
-            elif dtype == jnp.bool_:
-                seg = seg != 0
-            elif dtype != jnp.int32:
-                seg = seg.astype(dtype)
-            if width != 1:
-                seg = seg.T                  # sublane slice + thin transpose
-            if seg.shape != new_shape:
-                seg = seg.reshape(new_shape)
-            out_leaves.append(seg)
+        out_leaves = _unpack_transposed(bigT, leaves, cols, meta, parents, n)
         return jax.tree_util.tree_unflatten(treedef, out_leaves)
     big = None
     if packed:
@@ -261,6 +258,49 @@ def _gather_traces(traces, parents, clustered: bool = False):
         big = jax.lax.optimization_barrier(big)
     out_leaves = _unpack_leaves(big, leaves, cols, meta, parents, n)
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+def _unpack_transposed(bigT, leaves, cols, meta, parents, n):
+    """Reconstruct trace leaves from the kernel's lane-dense [D, n] output
+    (sublane slices + thin transposes; width-1 leaves are bare rows)."""
+    out_leaves = []
+    off = 0
+    for l, c, (dtype, shape, width) in zip(leaves, cols, meta):
+        if c is None:
+            out_leaves.append(l[parents] if l.ndim > 0 else l)
+            continue
+        new_shape = (n,) + shape[1:]
+        seg = bigT[off] if width == 1 else bigT[off:off + width]
+        off += width
+        if dtype == jnp.float32:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
+        elif dtype == jnp.bool_:
+            seg = seg != 0
+        elif dtype != jnp.int32:
+            seg = seg.astype(dtype)
+        if width != 1:
+            seg = seg.T
+        if seg.shape != new_shape:
+            seg = seg.reshape(new_shape)
+        out_leaves.append(seg)
+    return out_leaves
+
+
+def _gather_traces_from_F(traces, F):
+    """Fused resampling gather directly from cumulative hit counts: parent
+    construction (replacing the XLA scatter in ``counts_to_parents``), the
+    ancestry row-gather, and the per-leaf unpack all run in one Pallas
+    kernel pass (ops/fused_gather.py). Returns ``(new_traces, parents)``."""
+    leaves, treedef = jax.tree_util.tree_flatten(traces)
+    n = F.shape[0]
+    cols, meta = _pack_leaves(leaves)
+    packed = [c for c in cols if c is not None]
+    packed.append(jnp.arange(n, dtype=jnp.int32)[:, None])  # -> parents
+    big = jax.lax.optimization_barrier(jnp.concatenate(packed, axis=1))
+    from ..ops.fused_gather import resample_gather_transposed
+    bigT, parents = resample_gather_transposed(big, F, has_index_col=True)
+    out_leaves = _unpack_transposed(bigT, leaves, cols, meta, parents, n)
+    return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
 
 
 def _new_weights_full(n, log_weights, log_priorities, parents, custom):
@@ -282,7 +322,7 @@ def _new_weights_sub(n, log_weights, log_priorities, parents, custom):
 
 
 def _resample_impl(key, state, parent_fn, priority_fn, check,
-                   clustered: bool = False):
+                   clustered: bool = False, F_fn=None):
     is_sub = isinstance(state, ParticleFilterSubState)
     log_weights = state.log_weights
     n = state.n_particles
@@ -291,9 +331,19 @@ def _resample_impl(key, state, parent_fn, priority_fn, check,
     weights, invalid = safe_softmax(log_priorities)
     apply_check(invalid, check)
 
-    parents = parent_fn(key, weights, log_priorities)
-    new_traces = _gather_traces(state.traces, parents,
-                                clustered=clustered and not is_sub)
+    from .. import config as _config
+    use_fused = (F_fn is not None and not is_sub
+                 and _config.clustered_gather
+                 and jax.devices()[0].platform == "tpu")
+    if use_fused:
+        # single Pallas pass: parents from cumulative hit counts + ancestry
+        # gather + leaf unpack (no XLA scatter, no post-hoc unpack)
+        new_traces, parents = _gather_traces_from_F(state.traces,
+                                                    F_fn(key, weights))
+    else:
+        parents = parent_fn(key, weights, log_priorities)
+        new_traces = _gather_traces(state.traces, parents,
+                                    clustered=clustered and not is_sub)
     if is_sub:
         new_lw = _new_weights_sub(n, log_weights, log_priorities, parents,
                                   custom)
@@ -327,7 +377,8 @@ def pf_stratified_resample(key, state, priority_fn=None, check="warn",
         key, state,
         lambda k, w, lp: stratified_parents(
             k, w, log_priorities=lp, sort_particles=sort_particles),
-        priority_fn, check, clustered=not sort_particles)
+        priority_fn, check, clustered=not sort_particles,
+        F_fn=None if sort_particles else stratified_F)
 
 
 def pf_systematic_resample(key, state, priority_fn=None, check="warn",
@@ -336,7 +387,8 @@ def pf_systematic_resample(key, state, priority_fn=None, check="warn",
         key, state,
         lambda k, w, lp: systematic_parents(
             k, w, log_priorities=lp, sort_particles=sort_particles),
-        priority_fn, check, clustered=not sort_particles)
+        priority_fn, check, clustered=not sort_particles,
+        F_fn=None if sort_particles else systematic_F)
 
 
 _METHODS = {

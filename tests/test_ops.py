@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from genparticlefilters_tpu.ops.sorted_gather import gather_rows_clustered
-from genparticlefilters_tpu.ops.fused_gather import gather_transposed_clustered
+from genparticlefilters_tpu.ops.fused_gather import (
+    gather_transposed_clustered, resample_gather_transposed)
 from genparticlefilters_tpu.ops.gather import gather_rows_pallas
 
 
@@ -70,6 +71,37 @@ def test_fused_gather_transposed_extreme_values():
     parents = jnp.sort(jr.randint(jr.key(1), (m,), 0, n, dtype=jnp.int32))
     out = gather_transposed_clustered(vals, parents, interpret=True)
     ref = jnp.take(vals, parents, axis=0).T
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def _F_from_weights(key, n):
+    from genparticlefilters_tpu.smc.resample import systematic_F
+    w = jax.nn.softmax(jr.normal(key, (n,)) * 2.0)
+    return systematic_F(jr.fold_in(key, 1), w)
+
+
+@pytest.mark.parametrize("n,d", [(2048, 72), (1000, 43), (512, 96)])
+def test_resample_gather_from_F_interpret(n, d):
+    from genparticlefilters_tpu.smc.resample import _F_to_parents
+    mat = jr.randint(jr.key(0), (n, d), -2**30, 2**30, dtype=jnp.int32)
+    F = _F_from_weights(jr.key(n), n)
+    parents_ref = _F_to_parents(F, n)
+    out, parents = resample_gather_transposed(mat, F, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.asarray(parents_ref))
+    ref = jnp.take(mat, parents_ref, axis=0).T
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_resample_gather_from_F_degenerate():
+    # all offspring from one particle: F jumps 0 -> n at i=777
+    n, d = 1024, 32
+    mat = jr.randint(jr.key(0), (n, d), -2**31, 2**31 - 1, dtype=jnp.int32)
+    F = jnp.where(jnp.arange(n) >= 777, n, 0).astype(jnp.int32)
+    out, parents = resample_gather_transposed(mat, F, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.full((n,), 777, np.int32))
+    ref = jnp.broadcast_to(mat[777][:, None], (d, n))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
