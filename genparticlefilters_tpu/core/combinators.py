@@ -423,8 +423,24 @@ class Unfold(GenFn):
         new_tr = Trace(self, new_args, retvals, tr.score + score_add, inner)
         return new_tr, logq, ChoiceMap({})
 
+    def _old_prev_states(self, tr: Trace, fallback_state0, fallback_params):
+        """Old carry state entering each step t (= old stacked retval at
+        t−1; old state0 at t=0), plus the old params — reconstructed from the
+        trace's stored args so per-step ``old_args`` can be passed down for
+        exact sel_old recomputation."""
+        if tr.args:
+            _, old_state0, old_params = self._split_args(tr.args)
+        else:
+            old_state0, old_params = fallback_state0, fallback_params
+        old_prev = jax.tree_util.tree_map(
+            lambda stk, s0: jnp.concatenate(
+                [jnp.broadcast_to(jnp.asarray(s0, stk.dtype),
+                                  stk[:1].shape), stk[:-1]], axis=0),
+            tr.retval, old_state0)
+        return old_prev, old_params
+
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
-                    window=None):
+                    window=None, old_args=None):
         if (window is not None and _outer_mask(tr) is True):
             return self._regenerate_window(key, tr, new_args, selection,
                                            int(window))
@@ -432,27 +448,30 @@ class Unfold(GenFn):
         t_old = tr.inner["t"]
         outer_mask = _outer_mask(tr)
         old_steps = tr.inner["steps"]
+        old_prev, old_params = self._old_prev_states(tr, state0, params)
         dsel, sel_static = self._slice_sel(self._densify_selection(selection))
         ts = jnp.arange(self.T, dtype=jnp.int32)
 
         def body(state, xs):
             if sel_static:
-                t, old_step = xs
+                t, old_step, old_prev_t = xs
                 step_sel = dsel
             else:
-                t, old_step, step_sel = xs
+                t, old_step, old_prev_t, step_sel = xs
             a_old = t < t_old
             if outer_mask is not True:
                 a_old = jnp.logical_and(a_old, outer_mask)
             masked_old = self.step.mask_trace(old_step, a_old)
             k = jr.fold_in(key, t)
             new_step, sn_t, so_t = self.step._regenerate(
-                k, masked_old, (t, state) + params, step_sel)
+                k, masked_old, (t, state) + params, step_sel,
+                old_args=(t, old_prev_t) + old_params)
             a_new = t < t_new
             state = _tree_where(a_new, new_step.retval, state)
             return state, (new_step, state, sn_t, so_t)
 
-        xs = (ts, old_steps) if sel_static else (ts, old_steps, dsel)
+        xs = ((ts, old_steps, old_prev) if sel_static
+              else (ts, old_steps, old_prev, dsel))
         _, (steps, states, sns, sos) = lax.scan(body, state0, xs)
         a_new = self._active(t_new, True)
         score = jnp.sum(jnp.where(a_new, steps.score, 0.0))
@@ -482,6 +501,10 @@ class Unfold(GenFn):
         idx_prev = jnp.maximum(t_start - 1, 0)
         prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
         state = _tree_where(t_start > 0, prev_state, state0)
+        # old carry entering each window step: equals the (old) window-start
+        # state at j=0, then the stored stacked retvals thereafter
+        old_state = state
+        old_params = (self._split_args(tr.args)[2] if tr.args else params)
 
         cols = []
         score_delta = jnp.asarray(0.0, jnp.float32)
@@ -498,7 +521,8 @@ class Unfold(GenFn):
                  for k2, m in dsel.entries.items()}))
             kj = jr.fold_in(key, t_c)
             new_step, sn_t, so_t = self.step._regenerate(
-                kj, old_step, (t_c, state) + params, step_sel)
+                kj, old_step, (t_c, state) + params, step_sel,
+                old_args=(t_c, old_state) + old_params)
             new_col = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(active_j, jnp.asarray(
                     new, jnp.asarray(old).dtype), old),
@@ -511,6 +535,9 @@ class Unfold(GenFn):
             sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
             sel_old = sel_old + jnp.where(active_j, so_t, 0.0)
             state = new_state
+            old_state = _tree_where(active_j,
+                                    _tree_read_at(tr.retval, t_c, self.T),
+                                    old_state)
 
         delta = {"cols": cols, "t_old": t_old, "last_state": state,
                  "score_delta": score_delta, "new_args": new_args}
@@ -569,6 +596,8 @@ class Unfold(GenFn):
         idx_prev = jnp.maximum(t_start - 1, 0)
         prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
         state = _tree_where(t_start > 0, prev_state, state0)
+        old_state = state
+        old_params = (self._split_args(tr.args)[2] if tr.args else params)
 
         steps = old_steps
         retvals = tr.retval
@@ -586,7 +615,8 @@ class Unfold(GenFn):
                  for k2, m in dsel.entries.items()}))
             kj = jr.fold_in(key, t_c)
             new_step, sn_t, so_t = self.step._regenerate(
-                kj, old_step, (t_c, state) + params, step_sel)
+                kj, old_step, (t_c, state) + params, step_sel,
+                old_args=(t_c, old_state) + old_params)
             write = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(active_j, jnp.asarray(
                     new, jnp.asarray(old).dtype), old),
@@ -603,6 +633,9 @@ class Unfold(GenFn):
                 active_j, new_step.score - old_score_t, 0.0)
             sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
             sel_old = sel_old + jnp.where(active_j, so_t, 0.0)
+            old_state = _tree_where(active_j,
+                                    _tree_read_at(tr.retval, t_c, self.T),
+                                    old_state)
 
         steps_axis = jnp.arange(self.T, dtype=jnp.int32)
         retvals = jax.tree_util.tree_map(
@@ -614,6 +647,35 @@ class Unfold(GenFn):
         inner = _inner(steps, t_old)
         new_tr = Trace(self, new_args, retvals, tr.score + score_delta, inner)
         return new_tr, sel_new, sel_old
+
+    def _sel_logp(self, tr: Trace, args, selection: Selection):
+        """Forced re-execution over the old stacked steps: recovers the
+        selection-masked old log-probs without per-site score storage."""
+        _, state0, params = self._split_args(args)
+        t_old = tr.inner["t"]
+        outer_mask = _outer_mask(tr)
+        old_steps = tr.inner["steps"]
+        dsel, sel_static = self._slice_sel(self._densify_selection(selection))
+        ts = jnp.arange(self.T, dtype=jnp.int32)
+
+        def body(state, xs):
+            if sel_static:
+                t, old_step = xs
+                step_sel = dsel
+            else:
+                t, old_step, step_sel = xs
+            a = t < t_old
+            if outer_mask is not True:
+                a = jnp.logical_and(a, outer_mask)
+            masked_old = self.step.mask_trace(old_step, a)
+            rv, so = self.step._sel_logp(masked_old, (t, state) + params,
+                                         step_sel)
+            new_state = _tree_where(a, rv, state)
+            return new_state, (new_state, so)
+
+        xs = (ts, old_steps) if sel_static else (ts, old_steps, dsel)
+        _, (states, sos) = lax.scan(body, state0, xs)
+        return states, jnp.sum(sos)
 
     # -- structure --------------------------------------------------------
     def trace_choices(self, tr: Trace) -> ChoiceMap:
@@ -702,15 +764,30 @@ class MapCombinator(GenFn):
                 jnp.sum(logqs), disc)
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
-                    window=None):
+                    window=None, old_args=None):
         vargs, axes = self._vargs(new_args)
         keys = jr.split(key, self.n)
-        steps, sns, sos = jax.vmap(
-            lambda k, o, *a: self.kernel._regenerate(k, o, a, selection),
-            in_axes=(0, 0) + axes)(keys, tr.inner["steps"], *vargs)
+        if old_args is not None:
+            ovargs, oaxes = self._vargs(old_args)
+            steps, sns, sos = jax.vmap(
+                lambda k, o, a, oa: self.kernel._regenerate(
+                    k, o, a, selection, old_args=oa),
+                in_axes=(0, 0, axes, oaxes))(keys, tr.inner["steps"], vargs,
+                                             ovargs)
+        else:
+            steps, sns, sos = jax.vmap(
+                lambda k, o, *a: self.kernel._regenerate(k, o, a, selection),
+                in_axes=(0, 0) + axes)(keys, tr.inner["steps"], *vargs)
         score = jnp.sum(steps.score)
         return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
                 jnp.sum(sns), jnp.sum(sos))
+
+    def _sel_logp(self, tr: Trace, args, selection: Selection):
+        vargs, axes = self._vargs(args)
+        retvals, sos = jax.vmap(
+            lambda o, *a: self.kernel._sel_logp(o, a, selection),
+            in_axes=(0,) + axes)(tr.inner["steps"], *vargs)
+        return retvals, jnp.sum(sos)
 
     def trace_choices(self, tr: Trace) -> ChoiceMap:
         return self.kernel.trace_choices(tr.inner["steps"])

@@ -191,11 +191,20 @@ class GenFn:
         """Returns (new_trace, logq_fresh, discard)."""
         raise NotImplementedError
 
-    def _regenerate(self, key, tr, new_args, selection, window=None):
+    def _regenerate(self, key, tr, new_args, selection, window=None,
+                    old_args=None):
         """Returns (new_trace, sel_lp_new, sel_lp_old). ``window`` is an
         optional static promise that the selection only touches the last
         ``window`` active steps of a combinator (enables O(window)
-        rejuvenation)."""
+        rejuvenation). ``old_args`` are the args the OLD trace was produced
+        under (needed to recompute its selected log-probs); ``None`` falls
+        back to the trace's stored args, then to ``new_args``."""
+        raise NotImplementedError
+
+    def _sel_logp(self, tr, args, selection):
+        """Force-execute with the old trace's values under ``args``; returns
+        ``(retval, Σ selected∧present site log-probs)`` — the exact reverse-
+        proposal score regenerate needs, recomputed instead of stored."""
         raise NotImplementedError
 
     # -- structure --------------------------------------------------------
@@ -299,7 +308,6 @@ class _Handler:
         self._ctr = 0
         self.sites: Dict[str, Entry] = {}
         self.subs: Dict[str, Trace] = {}
-        self.site_scores: Dict[str, jax.Array] = {}
         self.score = jnp.asarray(0.0, jnp.float32)
 
     def fresh_key(self):
@@ -313,7 +321,6 @@ class _Handler:
         if addr in self.sites or addr in self.subs:
             raise ValueError(f"duplicate address {addr!r} in @gen function")
         self.sites[addr] = Entry(value, True)
-        self.site_scores[addr] = lp
         self.score = self.score + jnp.sum(lp)
 
     def record_sub(self, addr, sub_tr):
@@ -323,8 +330,7 @@ class _Handler:
         self.score = self.score + sub_tr.score
 
     def inner(self):
-        return {"sites": self.sites, "subs": self.subs,
-                "site_scores": self.site_scores}
+        return {"sites": self.sites, "subs": self.subs}
 
 
 class _SimulateHandler(_Handler):
@@ -470,10 +476,8 @@ class _RegenerateHandler(_Handler):
         self.window = window
         self.old_sites = old_inner["sites"]
         self.old_subs = old_inner["subs"]
-        self.old_site_scores = old_inner["site_scores"]
         self.selection = selection
         self.sel_new = jnp.asarray(0.0, jnp.float32)
-        self.sel_old = jnp.asarray(0.0, jnp.float32)
 
     def dist_site(self, addr, dist):
         old = self.old_sites.get(addr)
@@ -501,11 +505,6 @@ class _RegenerateHandler(_Handler):
         lp = dist.log_prob(v)
         if resample is not False:
             self.sel_new = self.sel_new + _masked_sum(lp, resample)
-            old_lp = self.old_site_scores.get(addr)
-            if old_lp is not None:
-                self.sel_old = self.sel_old + _masked_sum(
-                    jnp.broadcast_to(old_lp, shape) if jnp.shape(old_lp) != shape else old_lp,
-                    _and_masks(resample, mo))
         self.record(addr, v, lp)
         return v
 
@@ -516,13 +515,59 @@ class _RegenerateHandler(_Handler):
             self.sel_new = self.sel_new + sub.score
             self.record_sub(addr, sub)
             return sub.retval
-        sub, sn, so = gf._regenerate(self.fresh_key(), old_sub, args,
-                                     _scope_path(self.selection, addr),
-                                     window=self.window)
+        # sel_old of the sub-tree is NOT taken from the sub's return — the
+        # enclosing _sel_logp pass recomputes it recursively under the OLD
+        # upstream values (the sub's internal fallback would see new args)
+        sub, sn, _ = gf._regenerate(self.fresh_key(), old_sub, args,
+                                    _scope_path(self.selection, addr),
+                                    window=self.window)
         self.sel_new = self.sel_new + sn
-        self.sel_old = self.sel_old + so
         self.record_sub(addr, sub)
         return sub.retval
+
+
+class _SelLogpHandler(_Handler):
+    """Re-execute a body FORCING the old trace's stored values, accumulating
+    the selection-masked old log-probs Σ lp_old over selected∧present sites.
+
+    This recovers regenerate's ``sel_old`` term (the reverse-proposal score,
+    exact per-site lp under the old trace's own parameters) without storing
+    per-site scores in every trace — on the object-motion fixture those were
+    3 extra [N, T] f32 leaves, a third of all bytes the resampling gather and
+    trace-extension writes have to move. Never samples (no key needed)."""
+
+    def __init__(self, old_inner, selection: Selection):
+        super().__init__(None)
+        self.old_sites = old_inner["sites"]
+        self.old_subs = old_inner["subs"]
+        self.selection = selection
+        self.sel_old = jnp.asarray(0.0, jnp.float32)
+
+    def dist_site(self, addr, dist):
+        old = self.old_sites.get(addr)
+        if old is None:
+            raise ValueError(
+                f"regenerate: site {addr!r} missing from the old trace while "
+                "recomputing old selected log-probs (the @gen address set "
+                "must be static)")
+        v = jnp.asarray(old.value)
+        sel = _scope_path(self.selection, addr).mask_at_leaf()
+        m = _and_masks(_mask_to(sel, jnp.shape(v)),
+                       _mask_to(old.mask, jnp.shape(v)))
+        if m is not False:
+            self.sel_old = self.sel_old + _masked_sum(dist.log_prob(v), m)
+        return v
+
+    def call_site(self, addr, gf, args):
+        old_sub = self.old_subs.get(addr)
+        if old_sub is None:
+            raise ValueError(
+                f"regenerate: sub-call {addr!r} missing from the old trace "
+                "while recomputing old selected log-probs")
+        retval, so = gf._sel_logp(old_sub, args,
+                                  _scope_path(self.selection, addr))
+        self.sel_old = self.sel_old + so
+        return retval
 
 
 # ---------------------------------------------------------------------------
@@ -580,10 +625,18 @@ class DynamicGenFn(GenFn):
         return self._mk_trace(new_args, retval, h), h.logq, ChoiceMap(h.discard)
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
-                    window=None):
+                    window=None, old_args=None):
         h = _RegenerateHandler(key, tr.inner, selection, window=window)
         retval = self._run(h, new_args)
-        return self._mk_trace(new_args, retval, h), h.sel_new, h.sel_old
+        if old_args is None:
+            old_args = tr.args if tr.args else new_args
+        _, sel_old = self._sel_logp(tr, old_args, selection)
+        return self._mk_trace(new_args, retval, h), h.sel_new, sel_old
+
+    def _sel_logp(self, tr: Trace, args, selection: Selection):
+        h = _SelLogpHandler(tr.inner, selection)
+        retval = self._run(h, args)
+        return retval, h.sel_old
 
     # -- structure --------------------------------------------------------
     def trace_choices(self, tr: Trace) -> ChoiceMap:
@@ -600,8 +653,7 @@ class DynamicGenFn(GenFn):
                  for a, e in tr.inner["sites"].items()}
         subs = {a: s.gen_fn.mask_trace(s, m)
                 for a, s in tr.inner["subs"].items()}
-        inner = {"sites": sites, "subs": subs,
-                 "site_scores": tr.inner["site_scores"]}
+        inner = {"sites": sites, "subs": subs}
         return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
 
 
