@@ -96,11 +96,17 @@ def _tree_write_at(tree, t, values, T):
 
 
 def _slim_steps(steps: Trace) -> Trace:
-    """Drop per-step args/retval from stacked step traces: they are
-    reconstructed on every interpretation (args) or stacked separately as
-    the Unfold retval (carried states), so storing them per step only
-    inflates the particle state the resampling gather has to move."""
-    return Trace(steps.gen_fn, (), None, steps.score, steps.inner)
+    """Drop per-step args/retval AND the per-step score from stacked step
+    traces: args are reconstructed on every interpretation, carried states
+    are stacked separately as the Unfold retval, and the old step score is
+    recovered exactly by the ``_sel_logp`` forced re-execution pass the
+    window-rejuvenation paths already run — so storing any of them per step
+    only inflates the particle state that every resampling gather and
+    trace-extension write has to move. The score slot keeps a width-0
+    placeholder so the pytree structure of a slimmed column matches a
+    slimmed stack minus its leading axis."""
+    score = jnp.zeros(jnp.shape(steps.score) + (0,), jnp.float32)
+    return Trace(steps.gen_fn, (), None, score, steps.inner)
 
 
 class Unfold(GenFn):
@@ -440,7 +446,7 @@ class Unfold(GenFn):
         return old_prev, old_params
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
-                    window=None, old_args=None):
+                    window=None, old_args=None, need_sel_old=True):
         if (window is not None and _outer_mask(tr) is True):
             return self._regenerate_window(key, tr, new_args, selection,
                                            int(window))
@@ -465,7 +471,8 @@ class Unfold(GenFn):
             k = jr.fold_in(key, t)
             new_step, sn_t, so_t = self.step._regenerate(
                 k, masked_old, (t, state) + params, step_sel,
-                old_args=(t, old_prev_t) + old_params)
+                old_args=(t, old_prev_t) + old_params,
+                need_sel_old=need_sel_old)
             a_new = t < t_new
             state = _tree_where(a_new, new_step.retval, state)
             return state, (new_step, state, sn_t, so_t)
@@ -520,16 +527,21 @@ class Unfold(GenFn):
                       _onehot_read(jnp.asarray(m), t_c, self.T))
                  for k2, m in dsel.entries.items()}))
             kj = jr.fold_in(key, t_c)
-            new_step, sn_t, so_t = self.step._regenerate(
+            # one forced old-value pass per window step recovers BOTH the
+            # reverse-proposal lp (sel_old) and the old step score (replacing
+            # per-step score storage); the regenerate pass itself skips its
+            # internal sel_old recomputation
+            _, so_t, old_score_t = self.step._sel_logp(
+                old_step, (t_c, old_state) + old_params, step_sel)
+            new_step, sn_t, _ = self.step._regenerate(
                 kj, old_step, (t_c, state) + params, step_sel,
-                old_args=(t_c, old_state) + old_params)
+                need_sel_old=False)
             new_col = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(active_j, jnp.asarray(
                     new, jnp.asarray(old).dtype), old),
                 _slim_steps(new_step), old_step)
             new_state = _tree_where(active_j, new_step.retval, state)
             cols.append((t_c, active_j, new_col, new_state))
-            old_score_t = _onehot_read(old_steps.score, t_c, self.T)
             score_delta = score_delta + jnp.where(
                 active_j, new_step.score - old_score_t, 0.0)
             sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
@@ -614,9 +626,11 @@ class Unfold(GenFn):
                       _onehot_read(jnp.asarray(m), t_c, self.T))
                  for k2, m in dsel.entries.items()}))
             kj = jr.fold_in(key, t_c)
-            new_step, sn_t, so_t = self.step._regenerate(
+            _, so_t, old_score_t = self.step._sel_logp(
+                old_step, (t_c, old_state) + old_params, step_sel)
+            new_step, sn_t, _ = self.step._regenerate(
                 kj, old_step, (t_c, state) + params, step_sel,
-                old_args=(t_c, old_state) + old_params)
+                need_sel_old=False)
             write = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(active_j, jnp.asarray(
                     new, jnp.asarray(old).dtype), old),
@@ -628,7 +642,6 @@ class Unfold(GenFn):
                 _tree_where(active_j, state, _tree_read_at(retvals, t_c,
                                                            self.T)),
                 self.T)
-            old_score_t = _onehot_read(old_steps.score, t_c, self.T)
             score_delta = score_delta + jnp.where(
                 active_j, new_step.score - old_score_t, 0.0)
             sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
@@ -668,14 +681,14 @@ class Unfold(GenFn):
             if outer_mask is not True:
                 a = jnp.logical_and(a, outer_mask)
             masked_old = self.step.mask_trace(old_step, a)
-            rv, so = self.step._sel_logp(masked_old, (t, state) + params,
-                                         step_sel)
+            rv, so, sc = self.step._sel_logp(masked_old, (t, state) + params,
+                                             step_sel)
             new_state = _tree_where(a, rv, state)
-            return new_state, (new_state, so)
+            return new_state, (new_state, so, sc)
 
         xs = (ts, old_steps) if sel_static else (ts, old_steps, dsel)
-        _, (states, sos) = lax.scan(body, state0, xs)
-        return states, jnp.sum(sos)
+        _, (states, sos, scs) = lax.scan(body, state0, xs)
+        return states, jnp.sum(sos), jnp.sum(scs)
 
     # -- structure --------------------------------------------------------
     def trace_choices(self, tr: Trace) -> ChoiceMap:
@@ -764,19 +777,21 @@ class MapCombinator(GenFn):
                 jnp.sum(logqs), disc)
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
-                    window=None, old_args=None):
+                    window=None, old_args=None, need_sel_old=True):
         vargs, axes = self._vargs(new_args)
         keys = jr.split(key, self.n)
         if old_args is not None:
             ovargs, oaxes = self._vargs(old_args)
             steps, sns, sos = jax.vmap(
                 lambda k, o, a, oa: self.kernel._regenerate(
-                    k, o, a, selection, old_args=oa),
+                    k, o, a, selection, old_args=oa,
+                    need_sel_old=need_sel_old),
                 in_axes=(0, 0, axes, oaxes))(keys, tr.inner["steps"], vargs,
                                              ovargs)
         else:
             steps, sns, sos = jax.vmap(
-                lambda k, o, *a: self.kernel._regenerate(k, o, a, selection),
+                lambda k, o, *a: self.kernel._regenerate(
+                    k, o, a, selection, need_sel_old=need_sel_old),
                 in_axes=(0, 0) + axes)(keys, tr.inner["steps"], *vargs)
         score = jnp.sum(steps.score)
         return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
@@ -784,10 +799,10 @@ class MapCombinator(GenFn):
 
     def _sel_logp(self, tr: Trace, args, selection: Selection):
         vargs, axes = self._vargs(args)
-        retvals, sos = jax.vmap(
+        retvals, sos, scs = jax.vmap(
             lambda o, *a: self.kernel._sel_logp(o, a, selection),
             in_axes=(0,) + axes)(tr.inner["steps"], *vargs)
-        return retvals, jnp.sum(sos)
+        return retvals, jnp.sum(sos), jnp.sum(scs)
 
     def trace_choices(self, tr: Trace) -> ChoiceMap:
         return self.kernel.trace_choices(tr.inner["steps"])

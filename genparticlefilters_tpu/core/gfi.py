@@ -192,19 +192,24 @@ class GenFn:
         raise NotImplementedError
 
     def _regenerate(self, key, tr, new_args, selection, window=None,
-                    old_args=None):
+                    old_args=None, need_sel_old=True):
         """Returns (new_trace, sel_lp_new, sel_lp_old). ``window`` is an
         optional static promise that the selection only touches the last
         ``window`` active steps of a combinator (enables O(window)
         rejuvenation). ``old_args`` are the args the OLD trace was produced
         under (needed to recompute its selected log-probs); ``None`` falls
-        back to the trace's stored args, then to ``new_args``."""
+        back to the trace's stored args, then to ``new_args``. With
+        ``need_sel_old=False`` the forced old-value pass is skipped and 0 is
+        returned for sel_lp_old (callers that recompute it themselves, e.g.
+        an enclosing _sel_logp recursion or a window path that needs the old
+        step score anyway, avoid a duplicate execution)."""
         raise NotImplementedError
 
     def _sel_logp(self, tr, args, selection):
         """Force-execute with the old trace's values under ``args``; returns
-        ``(retval, Σ selected∧present site log-probs)`` — the exact reverse-
-        proposal score regenerate needs, recomputed instead of stored."""
+        ``(retval, Σ selected∧present site log-probs, Σ all present site
+        log-probs)`` — the exact reverse-proposal score and total old score
+        regenerate's window paths need, recomputed instead of stored."""
         raise NotImplementedError
 
     # -- structure --------------------------------------------------------
@@ -520,7 +525,7 @@ class _RegenerateHandler(_Handler):
         # upstream values (the sub's internal fallback would see new args)
         sub, sn, _ = gf._regenerate(self.fresh_key(), old_sub, args,
                                     _scope_path(self.selection, addr),
-                                    window=self.window)
+                                    window=self.window, need_sel_old=False)
         self.sel_new = self.sel_new + sn
         self.record_sub(addr, sub)
         return sub.retval
@@ -551,11 +556,15 @@ class _SelLogpHandler(_Handler):
                 "recomputing old selected log-probs (the @gen address set "
                 "must be static)")
         v = jnp.asarray(old.value)
+        mo = _mask_to(old.mask, jnp.shape(v))
+        if mo is False:
+            return v
+        lp = dist.log_prob(v)
+        self.score = self.score + _masked_sum(lp, mo)
         sel = _scope_path(self.selection, addr).mask_at_leaf()
-        m = _and_masks(_mask_to(sel, jnp.shape(v)),
-                       _mask_to(old.mask, jnp.shape(v)))
+        m = _and_masks(_mask_to(sel, jnp.shape(v)), mo)
         if m is not False:
-            self.sel_old = self.sel_old + _masked_sum(dist.log_prob(v), m)
+            self.sel_old = self.sel_old + _masked_sum(lp, m)
         return v
 
     def call_site(self, addr, gf, args):
@@ -564,9 +573,10 @@ class _SelLogpHandler(_Handler):
             raise ValueError(
                 f"regenerate: sub-call {addr!r} missing from the old trace "
                 "while recomputing old selected log-probs")
-        retval, so = gf._sel_logp(old_sub, args,
-                                  _scope_path(self.selection, addr))
+        retval, so, sc = gf._sel_logp(old_sub, args,
+                                      _scope_path(self.selection, addr))
         self.sel_old = self.sel_old + so
+        self.score = self.score + sc
         return retval
 
 
@@ -625,18 +635,21 @@ class DynamicGenFn(GenFn):
         return self._mk_trace(new_args, retval, h), h.logq, ChoiceMap(h.discard)
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
-                    window=None, old_args=None):
+                    window=None, old_args=None, need_sel_old=True):
         h = _RegenerateHandler(key, tr.inner, selection, window=window)
         retval = self._run(h, new_args)
-        if old_args is None:
-            old_args = tr.args if tr.args else new_args
-        _, sel_old = self._sel_logp(tr, old_args, selection)
+        if not need_sel_old:
+            sel_old = jnp.asarray(0.0, jnp.float32)
+        else:
+            if old_args is None:
+                old_args = tr.args if tr.args else new_args
+            _, sel_old, _ = self._sel_logp(tr, old_args, selection)
         return self._mk_trace(new_args, retval, h), h.sel_new, sel_old
 
     def _sel_logp(self, tr: Trace, args, selection: Selection):
         h = _SelLogpHandler(tr.inner, selection)
         retval = self._run(h, args)
-        return retval, h.sel_old
+        return retval, h.sel_old, h.score
 
     # -- structure --------------------------------------------------------
     def trace_choices(self, tr: Trace) -> ChoiceMap:
