@@ -19,9 +19,26 @@ import os
 import sys
 import time
 
-N = 100_000
-T = 10
+N = int(os.environ.get("GPF_BENCH_N", 100_000))
+T = int(os.environ.get("GPF_BENCH_T", 10))
 SEED = 7
+
+
+def theil_sen(points):
+    """Median-of-pairwise-slopes line fit over (k, elapsed) points — robust
+    to the axon relay's seconds-scale dispatch/fetch jitter, which corrupts
+    any single differenced pair (the round-1 failure mode)."""
+    slopes = []
+    pts = sorted(points)
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (k1, e1), (k2, e2) = pts[i], pts[j]
+            if k2 != k1:
+                slopes.append((e2 - e1) / (k2 - k1))
+    slopes.sort()
+    m = len(slopes)
+    return (slopes[m // 2] if m % 2 else
+            0.5 * (slopes[m // 2 - 1] + slopes[m // 2]))
 
 
 def log(*a):
@@ -100,35 +117,75 @@ def main():
 
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from genparticlefilters_tpu.models.object_motion import (
-        object_motion_filter, synthesize_data)
+        object_motion_filter_impl, synthesize_data)
+    from functools import partial
+    from jax import lax
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
     y_obs, _ = synthesize_data(jr.key(42), T, 5)
 
-    # warmup / compile (first host fetch forces full completion; over the
-    # axon tunnel block_until_ready does not truly synchronize, so all
-    # timings end with an explicit host fetch of the final result)
-    t0 = time.time()
-    st = object_motion_filter(jr.key(SEED), y_obs, N, T, 0.5, "systematic")
-    _ = np.asarray(st.log_ml_est)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    # K filter runs chained in ONE jitted executable (lax.scan over keys):
+    # a single dispatch + a single scalar host fetch per timing sample, so
+    # the tunnel's fixed dispatch/fetch latency appears exactly once per
+    # sample and is cancelled by the slope fit over several K values.
+    @partial(jax.jit, static_argnums=(1,))
+    def filter_many(key0, k):
+        keys = jr.split(key0, k)
 
-    def run_k(k, base):
+        def body(acc, kk):
+            st = object_motion_filter_impl(kk, y_obs, N, T, 0.5,
+                                           "systematic")
+            return acc + st.log_ml_est, None
+
+        acc, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32), keys)
+        return acc
+
+    KS = (3, 23, 43)
+    t0 = time.time()
+    for k in KS:  # compile all shapes (persistent cache makes reruns fast)
+        _ = float(np.asarray(filter_many(jr.key(SEED), k)))
+    log(f"compile+first runs: {time.time() - t0:.1f}s")
+
+    def sample_k(k, seed):
         t0 = time.time()
-        for i in range(k):
-            st = object_motion_filter(jr.key(base + i), y_obs, N, T, 0.5,
-                                      "systematic")
-        _ = float(np.asarray(st.log_ml_est))  # device executes in order
+        out = filter_many(jr.key(seed), k)
+        _ = float(np.asarray(out))  # host fetch = true synchronization
         return time.time() - t0
 
-    # difference two batch sizes to cancel the fixed dispatch+fetch latency
-    e1 = run_k(1, 1000)
-    e2 = run_k(21, 2000)
-    per_run = (e2 - e1) / 20
+    def measure(n_samples):
+        mins = {k: float("inf") for k in KS}
+        seed = 1000
+        for _ in range(n_samples):
+            for k in KS:  # interleave so drift hits every k equally
+                mins[k] = min(mins[k], sample_k(k, seed))
+                seed += 1
+        pts = sorted(mins.items())
+        per_run = theil_sen(pts)
+        # spread: compare the two independent adjacent-pair slopes
+        s01 = (pts[1][1] - pts[0][1]) / (pts[1][0] - pts[0][0])
+        s12 = (pts[2][1] - pts[1][1]) / (pts[2][0] - pts[1][0])
+        spread = abs(s01 - s12) / max(abs(per_run), 1e-12)
+        log(f"  min elapsed per k: "
+            + ", ".join(f"k={k}: {e:.3f}s" for k, e in pts)
+            + f" -> slope {per_run*1e3:.2f}ms/run (spread {spread:.2f})")
+        return per_run, spread
+
+    per_run = None
+    for attempt in range(4):
+        cand, spread = measure(n_samples=4 + 2 * attempt)
+        if cand > 0 and spread < 0.25:
+            per_run = cand
+            break
+        log(f"  measurement attempt {attempt} rejected "
+            f"(per_run={cand*1e3:.2f}ms, spread={spread:.2f}); retrying")
+    if per_run is None:
+        per_run = cand  # last attempt, report it but flag loudly
+        log("WARNING: timing never converged; reporting last estimate")
+    assert per_run > 0, f"non-positive per-run time {per_run}"
     ups = N * T / per_run
-    log(f"framework: per-run {per_run*1e3:.1f}ms -> "
+    log(f"framework: per-run {per_run*1e3:.2f}ms -> "
         f"{ups:,.0f} particle-updates/s")
 
     # NumPy CPU baseline (1 run is enough; it is deterministic in cost)
@@ -143,7 +200,7 @@ def main():
 
     print(json.dumps({
         "metric": f"particle-updates/sec/chip ({dev.platform}), object-motion"
-                  " SSM, 100K particles, T=10, ESS-triggered systematic "
+                  f" SSM, {N} particles, T={T}, ESS-triggered systematic "
                   "resampling + MH rejuvenation",
         "value": round(ups, 1),
         "unit": "particle-updates/s",

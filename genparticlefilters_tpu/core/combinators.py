@@ -429,13 +429,16 @@ class Unfold(GenFn):
         new_tr = Trace(self, new_args, retvals, tr.score + score_add, inner)
         return new_tr, logq, ChoiceMap({})
 
-    def _old_prev_states(self, tr: Trace, fallback_state0, fallback_params):
+    def _old_prev_states(self, tr: Trace, fallback_state0, fallback_params,
+                         old_args=None):
         """Old carry state entering each step t (= old stacked retval at
-        t−1; old state0 at t=0), plus the old params — reconstructed from the
-        trace's stored args so per-step ``old_args`` can be passed down for
-        exact sel_old recomputation."""
-        if tr.args:
-            _, old_state0, old_params = self._split_args(tr.args)
+        t−1; old state0 at t=0), plus the old params — reconstructed from an
+        explicit ``old_args`` (preferred) or the trace's stored args so
+        per-step ``old_args`` can be passed down for exact sel_old
+        recomputation."""
+        src_args = old_args if old_args is not None else tr.args
+        if src_args:
+            _, old_state0, old_params = self._split_args(src_args)
         else:
             old_state0, old_params = fallback_state0, fallback_params
         old_prev = jax.tree_util.tree_map(
@@ -454,7 +457,8 @@ class Unfold(GenFn):
         t_old = tr.inner["t"]
         outer_mask = _outer_mask(tr)
         old_steps = tr.inner["steps"]
-        old_prev, old_params = self._old_prev_states(tr, state0, params)
+        old_prev, old_params = self._old_prev_states(tr, state0, params,
+                                                     old_args=old_args)
         dsel, sel_static = self._slice_sel(self._densify_selection(selection))
         ts = jnp.arange(self.T, dtype=jnp.int32)
 
@@ -494,7 +498,13 @@ class Unfold(GenFn):
         the written stacked arrays — :meth:`apply_regenerate_delta` folds
         the accept mask into one fused masked-column write per leaf. This
         keeps an MH sweep at ~2 full passes over the stacked trace instead
-        of ~6 (write-back per window step + whole-trace accept select)."""
+        of ~6 (write-back per window step + whole-trace accept select).
+
+        Caller promise (same as :meth:`_regenerate_window`): the selection
+        only touches the last ``window`` active steps AND the args are
+        unchanged — the returned score delta covers only the window, so
+        changed params/state0 (whose effect reaches earlier steps) would
+        corrupt the MH weight."""
         if window is None or _outer_mask(tr) is not True:
             return super().regenerate_delta(key, tr, new_args, argdiffs,
                                             selection, window=window)
@@ -508,10 +518,15 @@ class Unfold(GenFn):
         idx_prev = jnp.maximum(t_start - 1, 0)
         prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
         state = _tree_where(t_start > 0, prev_state, state0)
-        # old carry entering each window step: equals the (old) window-start
-        # state at j=0, then the stored stacked retvals thereafter
-        old_state = state
-        old_params = (self._split_args(tr.args)[2] if tr.args else params)
+        # old carry entering each window step: the stored stacked retval at
+        # j=0 when t_start>0, else the OLD args' state0 (new state0 would
+        # corrupt sel_old/old scores if regenerate ever ran with changed
+        # args); stored stacked retvals thereafter
+        if tr.args:
+            _, old_state0, old_params = self._split_args(tr.args)
+        else:
+            old_state0, old_params = state0, params
+        old_state = _tree_where(t_start > 0, prev_state, old_state0)
 
         cols = []
         score_delta = jnp.asarray(0.0, jnp.float32)
@@ -608,8 +623,11 @@ class Unfold(GenFn):
         idx_prev = jnp.maximum(t_start - 1, 0)
         prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
         state = _tree_where(t_start > 0, prev_state, state0)
-        old_state = state
-        old_params = (self._split_args(tr.args)[2] if tr.args else params)
+        if tr.args:
+            _, old_state0, old_params = self._split_args(tr.args)
+        else:
+            old_state0, old_params = state0, params
+        old_state = _tree_where(t_start > 0, prev_state, old_state0)
 
         steps = old_steps
         retvals = tr.retval
@@ -661,9 +679,16 @@ class Unfold(GenFn):
         new_tr = Trace(self, new_args, retvals, tr.score + score_delta, inner)
         return new_tr, sel_new, sel_old
 
-    def _sel_logp(self, tr: Trace, args, selection: Selection):
+    def _sel_logp(self, tr: Trace, args, selection: Selection, window=None):
         """Forced re-execution over the old stacked steps: recovers the
-        selection-masked old log-probs without per-site score storage."""
+        selection-masked old log-probs without per-site score storage.
+
+        With ``window`` (promise: the selection only touches the last
+        ``window`` active steps), only those steps are forced — keeping
+        wrapped-model windowed rejuvenation O(window) instead of O(T). The
+        returned score term then covers only the windowed steps."""
+        if window is not None and _outer_mask(tr) is True:
+            return self._sel_logp_window(tr, args, selection, int(window))
         _, state0, params = self._split_args(args)
         t_old = tr.inner["t"]
         outer_mask = _outer_mask(tr)
@@ -689,6 +714,40 @@ class Unfold(GenFn):
         xs = (ts, old_steps) if sel_static else (ts, old_steps, dsel)
         _, (states, sos, scs) = lax.scan(body, state0, xs)
         return states, jnp.sum(sos), jnp.sum(scs)
+
+    def _sel_logp_window(self, tr: Trace, args, selection: Selection,
+                         k: int):
+        """O(k) forced pass over the last k active steps (``args`` are the
+        OLD args here — callers pass the args the trace was produced under).
+        Retval = the stored stacked states (already the old sequence)."""
+        _, state0, params = self._split_args(args)
+        t_old = tr.inner["t"]
+        old_steps = tr.inner["steps"]
+        dsel, _ = self._slice_sel(self._densify_selection(selection))
+
+        t_start = t_old - k
+        idx_prev = jnp.maximum(t_start - 1, 0)
+        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
+        old_state = _tree_where(t_start > 0, prev_state, state0)
+        sel_old = jnp.asarray(0.0, jnp.float32)
+        score = jnp.asarray(0.0, jnp.float32)
+        for j in range(k):
+            t = t_start + j
+            t_c = jnp.clip(t, 0, self.T - 1)
+            active_j = jnp.logical_and(t >= 0, t < t_old)
+            old_step = _tree_read_at(old_steps, t_c, self.T)
+            step_sel = (dsel if dsel.all_ else Selection(
+                {k2: (m if isinstance(m, bool) else
+                      _onehot_read(jnp.asarray(m), t_c, self.T))
+                 for k2, m in dsel.entries.items()}))
+            _, so_t, sc_t = self.step._sel_logp(
+                old_step, (t_c, old_state) + params, step_sel)
+            sel_old = sel_old + jnp.where(active_j, so_t, 0.0)
+            score = score + jnp.where(active_j, sc_t, 0.0)
+            old_state = _tree_where(active_j,
+                                    _tree_read_at(tr.retval, t_c, self.T),
+                                    old_state)
+        return tr.retval, sel_old, score
 
     # -- structure --------------------------------------------------------
     def trace_choices(self, tr: Trace) -> ChoiceMap:
@@ -797,10 +856,11 @@ class MapCombinator(GenFn):
         return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
                 jnp.sum(sns), jnp.sum(sos))
 
-    def _sel_logp(self, tr: Trace, args, selection: Selection):
+    def _sel_logp(self, tr: Trace, args, selection: Selection, window=None):
         vargs, axes = self._vargs(args)
         retvals, sos, scs = jax.vmap(
-            lambda o, *a: self.kernel._sel_logp(o, a, selection),
+            lambda o, *a: self.kernel._sel_logp(o, a, selection,
+                                                window=window),
             in_axes=(0,) + axes)(tr.inner["steps"], *vargs)
         return retvals, jnp.sum(sos), jnp.sum(scs)
 

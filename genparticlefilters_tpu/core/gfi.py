@@ -94,7 +94,8 @@ class Extend:
 @jax.tree_util.register_pytree_node_class
 class Trace:
     """An execution record: gen_fn (static), args, retval, score, and a
-    gen_fn-specific ``inner`` payload holding choices and per-site scores."""
+    gen_fn-specific ``inner`` payload holding the choices (sites and
+    sub-traces); per-site scores are recomputed on demand, never stored."""
 
     __slots__ = ("gen_fn", "args", "retval", "score", "inner")
 
@@ -205,11 +206,17 @@ class GenFn:
         step score anyway, avoid a duplicate execution)."""
         raise NotImplementedError
 
-    def _sel_logp(self, tr, args, selection):
+    def _sel_logp(self, tr, args, selection, window=None):
         """Force-execute with the old trace's values under ``args``; returns
         ``(retval, Σ selected∧present site log-probs, Σ all present site
         log-probs)`` — the exact reverse-proposal score and total old score
-        regenerate's window paths need, recomputed instead of stored."""
+        regenerate's window paths need, recomputed instead of stored.
+
+        ``window`` carries the same promise as in :meth:`_regenerate` (the
+        selection only touches the last ``window`` active steps of any
+        enclosed combinator); when given, combinators may restrict the forced
+        pass to those steps, in which case the returned *score* term covers
+        only the windowed steps (``sel_old`` stays exact)."""
         raise NotImplementedError
 
     # -- structure --------------------------------------------------------
@@ -541,8 +548,9 @@ class _SelLogpHandler(_Handler):
     3 extra [N, T] f32 leaves, a third of all bytes the resampling gather and
     trace-extension writes have to move. Never samples (no key needed)."""
 
-    def __init__(self, old_inner, selection: Selection):
+    def __init__(self, old_inner, selection: Selection, window=None):
         super().__init__(None)
+        self.window = window
         self.old_sites = old_inner["sites"]
         self.old_subs = old_inner["subs"]
         self.selection = selection
@@ -551,10 +559,11 @@ class _SelLogpHandler(_Handler):
     def dist_site(self, addr, dist):
         old = self.old_sites.get(addr)
         if old is None:
-            raise ValueError(
-                f"regenerate: site {addr!r} missing from the old trace while "
-                "recomputing old selected log-probs (the @gen address set "
-                "must be static)")
+            # structurally new site (absent from the old trace): contributes
+            # nothing to the old score or sel_old — mirror
+            # _RegenerateHandler's fresh-sample branch with a deterministic
+            # dummy value so the body can keep executing
+            return dist.sample(jr.key(0))
         v = jnp.asarray(old.value)
         mo = _mask_to(old.mask, jnp.shape(v))
         if mo is False:
@@ -570,11 +579,11 @@ class _SelLogpHandler(_Handler):
     def call_site(self, addr, gf, args):
         old_sub = self.old_subs.get(addr)
         if old_sub is None:
-            raise ValueError(
-                f"regenerate: sub-call {addr!r} missing from the old trace "
-                "while recomputing old selected log-probs")
+            # structurally new sub-call: zero contribution (see dist_site)
+            return gf.simulate(jr.key(0), args).retval
         retval, so, sc = gf._sel_logp(old_sub, args,
-                                      _scope_path(self.selection, addr))
+                                      _scope_path(self.selection, addr),
+                                      window=self.window)
         self.sel_old = self.sel_old + so
         self.score = self.score + sc
         return retval
@@ -643,11 +652,12 @@ class DynamicGenFn(GenFn):
         else:
             if old_args is None:
                 old_args = tr.args if tr.args else new_args
-            _, sel_old, _ = self._sel_logp(tr, old_args, selection)
+            _, sel_old, _ = self._sel_logp(tr, old_args, selection,
+                                           window=window)
         return self._mk_trace(new_args, retval, h), h.sel_new, sel_old
 
-    def _sel_logp(self, tr: Trace, args, selection: Selection):
-        h = _SelLogpHandler(tr.inner, selection)
+    def _sel_logp(self, tr: Trace, args, selection: Selection, window=None):
+        h = _SelLogpHandler(tr.inner, selection, window=window)
         retval = self._run(h, args)
         return retval, h.sel_old, h.score
 

@@ -260,8 +260,40 @@ def _coalesce_key_matrix(state, by):
         out = by(state.traces)
         leaves = [jnp.asarray(l) for l in jax.tree_util.tree_leaves(out)]
     n = state.n_particles
-    cols = [l.reshape(n, -1).astype(jnp.float32) for l in leaves]
-    return jnp.concatenate(cols, axis=1)  # [N, D]
+    cols = []
+    for l in leaves:
+        cols.extend(_exact_key_cols(l.reshape(n, -1)))
+    return jnp.concatenate(cols, axis=1)  # [N, D] int32
+
+
+def _exact_key_cols(v):
+    """Lossless int32 key columns for one [N, D] leaf. A float32 cast would
+    collapse int32 choices above 2**24 (and distinct float bit patterns that
+    round together) into one group — the reference keys on exact choicemap
+    equality (src/resize.jl:309-334), so compare bit patterns instead."""
+    if v.dtype == jnp.bool_:
+        return [v.astype(jnp.int32)]
+    if jnp.issubdtype(v.dtype, jnp.floating):
+        # canonicalize -0.0 -> +0.0 so value equality matches bit equality
+        v = jnp.where(v == 0, jnp.zeros((), v.dtype), v)
+        u = jax.lax.bitcast_convert_type(
+            v, jnp.dtype(f"uint{8 * v.dtype.itemsize}"))
+    elif jnp.issubdtype(v.dtype, jnp.integer):
+        u = v
+    else:
+        raise TypeError(f"pf_coalesce: unsupported key dtype {v.dtype}")
+    if u.dtype.itemsize < 4:
+        return [u.astype(jnp.int32)]
+    if u.dtype.itemsize == 4:
+        if u.dtype == jnp.int32:
+            return [u]
+        return [jax.lax.bitcast_convert_type(u, jnp.int32)]
+    # 64-bit: split into two exact 32-bit halves
+    u = u.astype(jnp.uint64) if u.dtype != jnp.uint64 else u
+    hi = (u >> 32).astype(jnp.uint32)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return [jax.lax.bitcast_convert_type(hi, jnp.int32),
+            jax.lax.bitcast_convert_type(lo, jnp.int32)]
 
 
 def pf_coalesce(state, by=None) -> ParticleFilterState:

@@ -190,3 +190,33 @@ def test_extend_does_not_corrupt_sibling_unfolds():
     noop, w0, _, _ = g.update(jr.key(2), fast, (3,), (g.UnknownChange(),),
                               g.EMPTY)
     np.testing.assert_allclose(float(w0), 0.0, atol=1e-4)
+
+
+def test_regenerate_structurally_new_site():
+    """Regenerate a trace under a model with an extra site (model-sequence
+    SMC): the old-absent site is freshly sampled, its lp cancels in the
+    weight, and the forced old-logp pass contributes 0 for it instead of
+    raising."""
+    @g.gen
+    def m1():
+        g.trace("a", g.normal(0.0, 1.0))
+
+    @g.gen
+    def m2():
+        g.trace("a", g.normal(0.0, 1.0))
+        g.trace("extra", g.normal(2.0, 1.0))
+
+    tr, _ = m1.generate(jr.key(0), (), g.choicemap(("a", 0.5)))
+    sel = g.Selection({("a",): True})
+    new_tr, sel_new, sel_old = m2._regenerate(jr.key(1), tr, (), sel)
+    a_new = float(new_tr.get_choices()["a"])
+    ex = float(new_tr.get_choices()["extra"])
+    lp_a_new = lp_normal(a_new, 0.0, 1.0)
+    lp_ex = lp_normal(ex, 2.0, 1.0)
+    # new score covers both sites; sel_new = resampled a + fresh extra;
+    # sel_old = old lp of a only (extra absent from the old trace)
+    np.testing.assert_allclose(float(new_tr.score), lp_a_new + lp_ex,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(sel_new), lp_a_new + lp_ex, atol=1e-5)
+    np.testing.assert_allclose(float(sel_old), lp_normal(0.5, 0.0, 1.0),
+                               atol=1e-5)

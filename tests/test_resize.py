@@ -245,3 +245,29 @@ def test_introduce_folds_lml():
     # old particles carry the folded lml in their weights
     np.testing.assert_allclose(np.asarray(state.log_weights[:50]),
                                lml_before, atol=1e-4)
+
+
+def test_coalesce_large_int_keys():
+    """Choices above 2**24 that differ by 1 must stay in separate groups —
+    a float32 key cast would collapse them (ref keys on exact choicemap
+    equality, src/resize.jl:309-334)."""
+    obs = line_choicemap(1).merge(outlier_choicemap(1, False))
+    state = g.pf_initialize(jr.key(0), line_model, (1,), obs, 8)
+    big = jnp.asarray([16777216, 16777217, 16777216, 16777217,
+                       16777218, 16777218, 16777216, 16777219],
+                      jnp.int32)
+    co = g.pf_coalesce(state, by=lambda _traces: big)
+    alive = np.isfinite(np.asarray(co.log_weights))
+    assert alive.sum() == 4  # 4 distinct values, not 1 f32-rounded group
+
+
+def test_coalesce_float_bit_keys():
+    """Float keys distinct only in low mantissa bits must not merge, and
+    -0.0 must merge with +0.0 (value equality)."""
+    obs = line_choicemap(1).merge(outlier_choicemap(1, False))
+    state = g.pf_initialize(jr.key(0), line_model, (1,), obs, 6)
+    f = jnp.asarray([1.0, np.nextafter(np.float32(1.0), np.float32(2.0)),
+                     0.0, -0.0, 1.0, 0.0], jnp.float32)
+    co = g.pf_coalesce(state, by=lambda _traces: f)
+    alive = np.isfinite(np.asarray(co.log_weights))
+    assert alive.sum() == 3  # {1.0, nextafter(1.0), 0.0}
