@@ -171,6 +171,10 @@ class TraceTransform:
 # ---------------------------------------------------------------------------
 
 def _choices_close(a: ChoiceMap, b: ChoiceMap, atol=1e-4):
+    """Traced bool: every present entry of ``a`` matches ``b`` within
+    ``atol``. Structural mismatches (missing address, shape) are static and
+    yield a Python ``False``."""
+    ok_all = jnp.asarray(True)
     for k, e in a.entries.items():
         e2 = b.entries.get(k)
         if e2 is None:
@@ -183,24 +187,39 @@ def _choices_close(a: ChoiceMap, b: ChoiceMap, atol=1e-4):
         ok = diff <= atol
         if ma is not None:
             ok = jnp.logical_or(ok, jnp.logical_not(ma))
-        if not bool(jnp.all(ok)):
-            return False
-    return True
+        ok_all = jnp.logical_and(ok_all, jnp.all(ok))
+    return ok_all
+
+
+def _raise_round_trip(model_bad, prop_bad):
+    import numpy as np
+    if np.any(model_bad):
+        raise ValueError("round-trip check failed: model trace mismatch")
+    if np.any(prop_bad):
+        raise ValueError("round-trip check failed: proposal trace mismatch")
 
 
 def check_round_trip(prev_trace: Trace, prev_trace_rt: Trace,
                      fwd_trace: Trace = None, fwd_trace_rt: Trace = None):
-    """Eager-mode bijection check: the inverse translator must reconstruct
-    the input traces (within tolerance)."""
-    sc = prev_trace.get_score()
-    if isinstance(sc, jax.core.Tracer):
-        return  # cannot compare under tracing; round-trip check is eager-only
-    if not _choices_close(prev_trace.get_choices(), prev_trace_rt.get_choices()):
-        raise ValueError("round-trip check failed: model trace mismatch")
+    """Bijection check: the inverse translator must reconstruct the input
+    traces within tolerance (ref: src/translate.jl:266-272). Works eagerly
+    (Python raise) and inside jit/vmap (raising ``jax.debug.callback``, so a
+    per-particle SMCP³ update with ``check=True`` fails at execution time —
+    the reference applies it per particle inside ``pf_update!``)."""
+    model_ok = _choices_close(prev_trace.get_choices(),
+                              prev_trace_rt.get_choices())
+    prop_ok = True
     if fwd_trace is not None and fwd_trace_rt is not None:
-        if not _choices_close(fwd_trace.get_choices(),
-                              fwd_trace_rt.get_choices()):
-            raise ValueError("round-trip check failed: proposal trace mismatch")
+        prop_ok = _choices_close(fwd_trace.get_choices(),
+                                 fwd_trace_rt.get_choices())
+    traced = (isinstance(model_ok, jax.core.Tracer)
+              or isinstance(prop_ok, jax.core.Tracer))
+    model_bad = jnp.logical_not(model_ok)
+    prop_bad = jnp.logical_not(prop_ok)
+    if traced or isinstance(prev_trace.get_score(), jax.core.Tracer):
+        jax.debug.callback(_raise_round_trip, model_bad, prop_bad)
+        return
+    _raise_round_trip(bool(model_bad), bool(prop_bad))
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +282,8 @@ class UpdatingTraceTranslator:
                  new_observations: ChoiceMap = EMPTY,
                  q_forward: GenFn = None, q_forward_args=(),
                  q_backward: GenFn = None, q_backward_args=(),
-                 transform: TraceTransform | None = None):
+                 transform: TraceTransform | None = None,
+                 p_prev_args=None):
         self.p_new_args = tuple(p_new_args)
         self.p_argdiffs = (tuple(p_argdiffs) if p_argdiffs is not None
                            else tuple(UnknownChange() for _ in self.p_new_args))
@@ -273,6 +293,12 @@ class UpdatingTraceTranslator:
         self.q_backward = q_backward
         self.q_backward_args = tuple(q_backward_args)
         self.transform = transform
+        #: static model args the PREVIOUS trace was produced under — used by
+        #: :meth:`inverse` (round-trip checking). Under vmap/jit the trace's
+        #: stored args are traced, which breaks models whose args are
+        #: structural (e.g. a static length); supplying them here keeps the
+        #: round-trip check usable per particle inside jitted pf_update.
+        self.p_prev_args = None if p_prev_args is None else tuple(p_prev_args)
 
     def replace(self, **kw):
         vals = dict(p_new_args=self.p_new_args, p_argdiffs=self.p_argdiffs,
@@ -281,7 +307,8 @@ class UpdatingTraceTranslator:
                     q_forward_args=self.q_forward_args,
                     q_backward=self.q_backward,
                     q_backward_args=self.q_backward_args,
-                    transform=self.transform)
+                    transform=self.transform,
+                    p_prev_args=self.p_prev_args)
         vals.update(kw)
         return UpdatingTraceTranslator(**vals)
 
@@ -289,9 +316,11 @@ class UpdatingTraceTranslator:
                 prev_observations: ChoiceMap = EMPTY):
         """Swap forward/backward and invert the transform
         (ref: src/translate.jl:176-189)."""
+        prev_args = (self.p_prev_args if self.p_prev_args is not None
+                     else prev_trace.get_args())
         return UpdatingTraceTranslator(
-            p_new_args=prev_trace.get_args(),
-            p_argdiffs=tuple(UnknownChange() for _ in prev_trace.get_args()),
+            p_new_args=prev_args,
+            p_argdiffs=tuple(UnknownChange() for _ in prev_args),
             new_observations=prev_observations,
             q_forward=self.q_backward, q_forward_args=self.q_backward_args,
             q_backward=self.q_forward, q_backward_args=self.q_forward_args,
@@ -390,18 +419,26 @@ class GeneralTraceTranslator:
         return new_tr, weight
 
 
+def _raise_discard(any_disc):
+    import numpy as np
+    if np.any(any_disc):
+        raise ValueError(
+            "Choices were updated or deleted during pf_update; pass "
+            "check=False to allow replacing previous observations.")
+
+
 def _check_no_discard(discard: ChoiceMap, check: bool):
     """Reference errors when an update discards choices
     (src/update.jl:18-20, src/translate.jl:77-79). Eager-mode raise; under
-    jit the mask is traced and the check is skipped (documented)."""
+    jit the mask is traced, so a raising ``jax.debug.callback`` is staged —
+    the error surfaces as ``jax.errors.JaxRuntimeError`` at execution time."""
     if not check or discard.is_empty():
         return
     any_disc = discard.total_mask_any()
     if not isinstance(any_disc, jax.core.Tracer):
-        if bool(any_disc):
-            raise ValueError(
-                "Choices were updated or deleted during pf_update; pass "
-                "check=False to allow replacing previous observations.")
+        _raise_discard(bool(any_disc))
+        return
+    jax.debug.callback(_raise_discard, any_disc)
 
 
 # -- pytree registrations ---------------------------------------------------

@@ -60,17 +60,28 @@ def ess_from_log_weights(log_weights):
 
 
 def _warn_invalid(invalid):
-    if invalid:
+    import numpy as np
+    if np.any(invalid):
         print("[genparticlefilters_tpu] warning: invalid normalized weights "
               "(NaN or all -inf); renormalized per safe_softmax policy.")
 
 
-def apply_check(invalid, check):
-    """Implement the reference's ``check`` policy (src/resample.jl:53-55).
+def _raise_invalid(invalid):
+    import numpy as np
+    if np.any(invalid):
+        raise FloatingPointError("Invalid weights (NaN or all -inf).")
 
-    - ``check=True``: raise if invalid. Under jit the flag is a tracer and
-      cannot raise at trace time; we then fall back to a debug callback that
-      reports the error (XLA computations cannot abort).
+
+def apply_check(invalid, check):
+    """Implement the reference's ``check`` policy (src/resample.jl:53-55;
+    hard-stop semantics: src/utils.jl:117-140).
+
+    - ``check=True``: raise if invalid. Eagerly this is a Python
+      ``FloatingPointError``; under jit the flag is a tracer, so a raising
+      ``jax.debug.callback`` is staged instead — the exception surfaces as a
+      ``jax.errors.JaxRuntimeError`` when the computation executes (i.e. at
+      dispatch/fetch time), restoring the reference's hard-stop contract
+      inside jitted filters.
     - ``check="warn"``: report via debug callback when invalid.
     - ``check=False``: silent.
     """
@@ -83,5 +94,7 @@ def apply_check(invalid, check):
                     "Invalid weights (NaN or all -inf).")
             _warn_invalid(True)
         return
-    # traced: best-effort runtime report
-    jax.debug.callback(_warn_invalid, invalid)
+    if check is True:
+        jax.debug.callback(_raise_invalid, invalid)
+    else:
+        jax.debug.callback(_warn_invalid, invalid)

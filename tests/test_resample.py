@@ -91,6 +91,47 @@ def test_resample_invalid_weights():
         np.testing.assert_allclose(out.log_weights, 0.0, atol=1e-5)
 
 
+def test_resample_invalid_weights_jitted():
+    # jitted check=True must STILL fail on degenerate weights — the
+    # reference's hard-stop contract (src/utils.jl:117-140) holds inside
+    # compiled filters via a raising debug callback that surfaces as
+    # JaxRuntimeError at execution time.
+    @jax.jit
+    def bad_filter(key):
+        state = g.pf_initialize(key, line_model, (0,), slope_choicemap(-3),
+                                100)
+        state = g.pf_resample(jr.key(1), state, "systematic", check=True)
+        return state.log_ml_est
+
+    with pytest.raises(Exception, match="Invalid weights"):
+        np.asarray(bad_filter(jr.key(0)))  # fetch forces the error
+
+    @jax.jit
+    def good_filter(key):
+        state = g.pf_initialize(key, line_model, (10,), line_choicemap(10),
+                                100)
+        state = g.pf_resample(jr.key(1), state, "systematic", check=True)
+        return state.log_ml_est
+
+    assert np.isfinite(np.asarray(good_filter(jr.key(0))))
+
+
+def test_update_discard_check_jitted():
+    # overwriting a previous observation inside a jitted pf_update with
+    # check=True raises at execution time (ref: src/update.jl:18-20)
+    @jax.jit
+    def overwriting(key):
+        state = g.pf_initialize(key, line_model, (3,), line_choicemap(3), 16)
+        # re-constrain an already-observed step -> non-empty discard
+        state = g.pf_update(jr.key(1), state, (3,), None, line_choicemap(3),
+                            check=True)
+        return state.log_ml_est
+
+    with pytest.raises(Exception,
+                       match="updated or deleted during pf_update"):
+        np.asarray(overwriting(jr.key(0)))
+
+
 @pytest.mark.parametrize("method", ["multinomial", "residual", "stratified"])
 @pytest.mark.parametrize("use_priority", [False, True])
 def test_blockwise_views(method, use_priority):

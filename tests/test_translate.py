@@ -164,3 +164,61 @@ def test_general_translator_across_models():
                          check=False)
     np.testing.assert_allclose(np.asarray(state2.log_weights),
                                np.asarray(state.log_weights), atol=1e-4)
+
+
+def _smcp3_translator(break_inverse=False):
+    """SMCP³ fixture from test_updating_translator_smcp3, optionally with a
+    corrupted inverse (wrong rescale) so the round-trip check must fail."""
+    @g.gen
+    def fwd_kernel(tr):
+        g.trace("u", g.bernoulli(0.25))
+        g.trace("x", g.normal(0.0, 1.0))
+
+    @g.gen
+    def bwd_kernel(tr):
+        g.trace("u", g.bernoulli(0.75))
+
+    def fwd_fn(prev, fwd):
+        return (g.choicemap((("x", 1), 2.0 * fwd["x"])),
+                g.choicemap(("u", fwd["u"])))
+
+    bad = 0.25 if break_inverse else 0.5
+
+    def bwd_fn(prev, fwd):
+        return (g.EMPTY, g.choicemap(("u", fwd["u"]),
+                                     ("x", prev[("x", 1)] * bad)))
+
+    transform = g.TraceTransform(
+        fwd_fn,
+        continuous_in=[("fwd", "x")],
+        continuous_out=[("model", ("x", 1))],
+        inverse_fn=bwd_fn,
+        inverse_continuous_in=[("prev", ("x", 1))],
+        inverse_continuous_out=[("bwd", "x")])
+    return g.UpdatingTraceTranslator(
+        p_new_args=(1,), p_prev_args=(0,),
+        new_observations=g.choicemap(((("y", 1)), 0.0)),
+        q_forward=fwd_kernel, q_backward=bwd_kernel, transform=transform)
+
+
+def test_round_trip_check_under_jit_vmap():
+    # the reference applies the round-trip check per particle inside
+    # pf_update! (src/translate.jl:266-272); here the whole pf_update runs
+    # under jit with check=True — a correct bijection passes, a corrupted
+    # inverse fails at execution time via the raising debug callback
+    import jax
+    import pytest
+
+    state0 = g.pf_initialize(jr.key(0), xy_model, (0,), g.EMPTY, 16)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def step(state, ok):
+        tr = _smcp3_translator(break_inverse=not ok)
+        return g.pf_update(jr.key(1), state, translator=tr,
+                           check=True).log_weights
+
+    assert np.all(np.isfinite(np.asarray(step(state0, True))))
+    with pytest.raises(Exception, match="round-trip check failed"):
+        np.asarray(step(state0, False))
