@@ -8,9 +8,11 @@ import contextlib
 #: resampling ancestry gather when parents are non-decreasing
 #: (systematic/stratified with sort_particles=False); measured ~4x over the
 #: XLA take-then-unpack path on v5e at N=100K. Per-chip only — a pallas_call
-#: does not partition under GSPMD auto-sharding; set False when resampling a
-#: full state whose particle axis is sharded with jax.sharding (the
-#: shard-local ops in parallel/ are unaffected — they never take this path).
+#: does not partition under GSPMD auto-sharding, so the resampling ops
+#: auto-detect multi-device inputs (``smc/resample.py::_maybe_partitioned``)
+#: and fall back to the XLA gather path regardless of this flag; the flag
+#: remains as a manual kill switch (the shard-local ops in parallel/ are
+#: unaffected — they never take the Pallas path).
 clustered_gather: bool = True
 
 

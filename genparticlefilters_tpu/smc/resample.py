@@ -221,6 +221,30 @@ def _unpack_leaves(big, leaves, cols, meta, parents, n):
     return out_leaves
 
 
+def _maybe_partitioned(x) -> bool:
+    """Conservatively True when ``x``'s leading (particle) axis may be
+    partitioned over more than one device — the fused Pallas kernels must
+    then be skipped: a ``pallas_call`` does not partition under GSPMD, so
+    it would see only the local shard (wrong ancestry) or force a gather.
+
+    Concrete arrays are definitive (``sharding.shard_shape``). Traced
+    arrays in auto-sharding mode carry no per-array spec, but ``jax.typeof``
+    exposes the abstract mesh the computation compiles against — any mesh
+    with >1 device means GSPMD may partition this value, so we fall back to
+    the XLA gather path (correct under any sharding)."""
+    s = getattr(x, "sharding", None)
+    if s is not None:
+        try:
+            return s.shard_shape(jnp.shape(x))[0] != jnp.shape(x)[0]
+        except Exception:
+            return len(getattr(s, "device_set", ())) > 1
+    try:
+        mesh = jax.typeof(x).sharding.mesh
+        return getattr(mesh, "size", 0) > 1
+    except Exception:
+        return False
+
+
 def _gather_traces(traces, parents, clustered: bool = False):
     """Ancestry gather ``traces[parents]`` over the particle axis.
 
@@ -242,7 +266,8 @@ def _gather_traces(traces, parents, clustered: bool = False):
     cols, meta = _pack_leaves(leaves)
     packed = [c for c in cols if c is not None]
     use_pallas = (packed and clustered and _config.clustered_gather
-                  and jax.devices()[0].platform == "tpu")
+                  and jax.devices()[0].platform == "tpu"
+                  and not _maybe_partitioned(parents))
     if use_pallas:
         big = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
         big = jax.lax.optimization_barrier(big)
@@ -334,7 +359,8 @@ def _resample_impl(key, state, parent_fn, priority_fn, check,
     from .. import config as _config
     use_fused = (F_fn is not None and not is_sub
                  and _config.clustered_gather
-                 and jax.devices()[0].platform == "tpu")
+                 and jax.devices()[0].platform == "tpu"
+                 and not _maybe_partitioned(log_weights))
     if use_fused:
         # single Pallas pass: parents from cumulative hit counts + ancestry
         # gather + leaf unpack (no XLA scatter, no post-hoc unpack)
