@@ -392,18 +392,25 @@ class Unfold(GenFn):
         old_steps = tr.inner["steps"]
         dense = self._slice_cm(self._densify(constraints))
 
-        # carry state entering step t_old (stored stacked retval at t_old-1)
-        idx_prev = jnp.maximum(t_old - 1, 0)
-        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
+        # carry state entering step t_old: the retval tail-repeat invariant
+        # means the LAST stacked column always equals the state at t_old-1,
+        # so a static [-1] slice replaces the one-hot masked read
+        prev_state = jax.tree_util.tree_map(lambda l: l[-1], tr.retval)
         state = _tree_where(t_old > 0, prev_state, state0)
 
         steps = old_steps
         retvals = tr.retval
         score_add = jnp.asarray(0.0, jnp.float32)
         logq = jnp.asarray(0.0, jnp.float32)
+        # proto: a structurally identical step trace masked fully absent —
+        # values never matter under a False mask, so build it from zeros
+        # instead of reading a column of old_steps (saves one full pass
+        # over the stacked step leaves per extension)
         proto = self.step.mask_trace(
-            _tree_read_at(old_steps, idx_prev, self.T),
-            False)  # structurally identical step trace, masked fully absent
+            jax.tree_util.tree_map(
+                lambda l: jnp.zeros(l.shape[1:], l.dtype), old_steps),
+            False)
+        steps_axis = jnp.arange(self.T, dtype=jnp.int32)
         for j in range(int(k)):
             t = t_old + j
             step_c = _tree_read_at(dense, t, self.T)
@@ -412,19 +419,21 @@ class Unfold(GenFn):
                 kj, proto, (t, state) + params, step_c)
             state = new_step.retval
             steps = _tree_write_at(steps, t, _slim_steps(new_step), self.T)
-            retvals = _tree_write_at(retvals, t, state, self.T)
+            # retvals: the last extension step writes column t AND the
+            # inactive tail (which repeats the last active state) in ONE
+            # masked pass — mask >= t instead of == t + a separate tail fix
+            if j == int(k) - 1:
+                sel = (steps_axis >= t)
+            else:
+                sel = (steps_axis == t)
+            retvals = jax.tree_util.tree_map(
+                lambda l, v: jnp.where(
+                    sel.reshape((self.T,) + (1,) * (jnp.ndim(l) - 1)),
+                    jnp.asarray(v, l.dtype), l),
+                retvals, state)
             score_add = score_add + new_step.score
             logq = logq + logq_t
 
-        # keep the documented invariant: retval entries at inactive steps
-        # repeat the last active state
-        steps_axis = jnp.arange(self.T, dtype=jnp.int32)
-        retvals = jax.tree_util.tree_map(
-            lambda stk, last: jnp.where(
-                (steps_axis >= t_new).reshape(
-                    (self.T,) + (1,) * (jnp.ndim(stk) - 1)),
-                jnp.asarray(last, stk.dtype), stk),
-            retvals, state)
         inner = _inner(steps, t_new)
         new_tr = Trace(self, new_args, retvals, tr.score + score_add, inner)
         return new_tr, logq, ChoiceMap({})

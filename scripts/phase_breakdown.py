@@ -93,7 +93,13 @@ def main():
             return state, None
 
         state, _ = lax.scan(step, state, jnp.arange(1, T, dtype=jnp.int32))
-        return state.log_ml_est
+        # fold every trace leaf into the output so XLA cannot DCE the
+        # trace-extension writes (returning just log_ml_est made the
+        # update-only mode measure an empty computation)
+        leaf_fold = sum(jnp.sum(l[:7].astype(jnp.float32))
+                        for l in jax.tree_util.tree_leaves(state.traces)
+                        if l.size)
+        return state.log_ml_est, leaf_fold
 
     for mode in ("update", "resample", "rejuv", "real"):
         fn = jax.jit(lambda k, m=mode: filter_mode(k, m))
@@ -105,16 +111,22 @@ def main():
                           jax.tree_util.tree_map(lambda x: x, obs_at_t(
                               y_obs, 0)), N)
 
-    up = jax.jit(lambda k, s: pf_update(
+    def fold(s):
+        # anti-DCE: touch every trace leaf
+        return s.log_weights[:3], sum(
+            jnp.sum(l[:7].astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(s.traces) if l.size)
+
+    up = jax.jit(lambda k, s: fold(pf_update(
         k, s, (6, x0), (Extend(1), NoChange()), obs_at_t(y_obs, 5),
-        check=False).log_weights)
-    rs = jax.jit(lambda k, s: pf_resample(
-        k, s, "systematic", check=False).log_weights)
+        check=False)))
+    rs = jax.jit(lambda k, s: fold(pf_resample(
+        k, s, "systematic", check=False)))
     steps = jnp.arange(T)
     sel_mask = (steps == 4) | (steps == 5)
     sel = Selection({("moving",): sel_mask, ("y",): sel_mask})
-    rj = jax.jit(lambda k, s: pf_rejuvenate(
-        k, s, mh, (sel,), window=2).log_weights)
+    rj = jax.jit(lambda k, s: fold(pf_rejuvenate(
+        k, s, mh, (sel,), window=2)))
     timeit("pf_update   x1", up, jr.key(2), state)
     timeit("pf_resample x1", rs, jr.key(3), state)
     timeit("pf_rejuv    x1", rj, jr.key(4), state)
