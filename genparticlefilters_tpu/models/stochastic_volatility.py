@@ -54,9 +54,14 @@ def synthesize_sv_data(key, t_max: int, p: SVParams):
 
 def sv_particle_filter(key, y_obs, n_particles: int, t_max: int,
                        p: SVParams, ess_frac: float = 0.5,
-                       rejuv_steps: int = 1):
+                       rejuv_steps: int = 1, rejuv_window: int | None = 2):
     """Filter with move-reweight rejuvenation of the most recent volatility
-    (spec for the kernel: /root/reference/src/rejuvenate.jl:125-132)."""
+    (spec for the kernel: /root/reference/src/rejuvenate.jl:125-132).
+
+    ``rejuv_window``: static promise that the rejuvenated selection only
+    touches the last k active steps — the move then recomputes O(k) steps
+    instead of O(t_max) per proposal (decisive at long horizons; see
+    docs/performance.md). ``None`` forces the full re-scan path."""
     model = make_sv_model(t_max, p)
     h0 = jnp.asarray(p.mu, jnp.float32)
 
@@ -64,7 +69,7 @@ def sv_particle_filter(key, y_obs, n_particles: int, t_max: int,
         steps = jnp.arange(t_max)
         sel = Selection({("h",): steps == (t - 1)})
         return pf_move_reweight(key, state, move_reweight, (sel,),
-                                n_iters=rejuv_steps)
+                                n_iters=rejuv_steps, window=rejuv_window)
 
     return run_particle_filter(
         key, model, t_max, n_particles,

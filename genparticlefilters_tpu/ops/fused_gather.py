@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_transposed_clustered", "resample_gather_transposed"]
 
-_B = 256       # output rows (particles) per grid step
+_B = 512       # output rows (particles) per grid step
 _CHUNK = 512   # source rows per DMA slab
 _FSLAB = 4096  # F values per counting slab (8 rows x 512 lanes)
 
@@ -153,6 +153,140 @@ def _kernel_resample(bases_ref, src_ref, f2_ref, out_ref,
     out_ref[:] = out
 
 
+_CHUNK_P = 256  # packed rows per chunk in the staircase kernel (512 source)
+
+
+def _kernel_resample_stairs(bases_ref, src_ref, out_ref,
+                            chunk_ref, acc0, acc1, acc2, acc3, sem):
+    """Staircase variant of the fused resampling gather, for d1 <= 62:
+    two source rows share one 128-lane VMEM row (row 2i in lanes [0,64),
+    row 2i+1 in lanes [64,128)), and lanes 62/63 (126/127) carry that
+    row's cumulative-hit-count bracket ``[F_prev, F)``. The one-hot select
+    is built DIRECTLY from the staircase condition ``F_prev[i] <= j < F[i]``
+    (output j's parent is row i), so no parent-counting phase and no
+    separate F DMAs exist at all; the parents come out of the gathered
+    row-index column like any other data. Output sublanes [0,64) hold the
+    even-parity gather, [64,128) the odd; a lane-parity select collapses
+    them. Each chunk covers 2*_CHUNK_P source rows, halving the one-hot
+    MXU work per gathered row vs the unpacked kernel."""
+    i = pl.program_id(0)
+    lo = bases_ref[i, 0]
+    hi = bases_ref[i, 1]
+    S2 = 2 * _CHUNK_P
+    lo8 = (lo // S2) * S2
+    n_chunks = (hi - lo8) // S2 + 1
+    # output slots of this block, on lanes
+    j_lane = i * _B + jax.lax.broadcasted_iota(jnp.int32, (1, _B), 1)
+
+    for acc in (acc0, acc1, acc2, acc3):
+        acc[:] = jnp.zeros_like(acc)
+
+    def dma(c, buf):
+        base = lo8 + c * S2
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(base // 2, _CHUNK_P), :],
+            chunk_ref.at[buf], sem.at[buf])
+
+    # double-buffered chunk pipeline: the next chunk's DMA runs while the
+    # MXU selects from the current one (DMA issue latency was ~half the
+    # kernel time at the typical 1-2 chunks per block)
+    dma(0, 0).start()
+
+    def chunk_body(c, parity):
+        cur = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1, 1 - cur).start()
+
+        dma(c, cur).wait()
+        vals = chunk_ref[cur]
+        # staircase match per packed row: even half brackets in lanes 62/63,
+        # odd half in 126/127
+        m_e = jnp.logical_and(vals[:, 62:63] <= j_lane,
+                              j_lane < vals[:, 63:64])    # [S, B]
+        m_o = jnp.logical_and(vals[:, 126:127] <= j_lane,
+                              j_lane < vals[:, 127:128])
+        onehot = jnp.logical_or(m_e, m_o).astype(jnp.bfloat16)
+        # int32 carry: Mosaic cannot legalize a bool vector through scf.for
+        parity = parity | jnp.any(m_o, axis=0, keepdims=True).astype(jnp.int32)
+        for shift, acc in ((0, acc0), (8, acc1), (16, acc2), (24, acc3)):
+            byte = jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(vals, shift), 0xFF
+            ).astype(jnp.bfloat16)
+            # contract both dim 0 (chunk rows): [S,128] x [S,B] -> [128,B]
+            acc[:] += jax.lax.dot_general(
+                byte, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return parity
+
+    parity = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                               jnp.zeros((1, _B), jnp.int32))
+    packed = jnp.zeros((128, _B), jnp.int32)
+    for shift, acc in ((0, acc0), (8, acc1), (16, acc2), (24, acc3)):
+        packed = packed | jax.lax.shift_left(acc[:].astype(jnp.int32), shift)
+    d_out = out_ref.shape[0]                        # <= 64
+    out_ref[:] = jnp.where(parity != 0, packed[64:64 + d_out, :],
+                           packed[:d_out, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "has_index_col"))
+def _resample_gather_packed(matrix, F, interpret: bool = False,
+                            has_index_col: bool = False):
+    """Packed-pair staircase resampling gather (see
+    _kernel_resample_stairs); requires data + row-index columns <= 62."""
+    n, d1_in = matrix.shape
+    assert matrix.dtype == jnp.int32
+    m_pad = -(-n // _B) * _B
+    nb = m_pad // _B
+    if has_index_col:
+        mat = matrix
+        d = d1_in - 1
+    else:
+        mat = jnp.concatenate(
+            [matrix, jnp.arange(n, dtype=jnp.int32)[:, None]], axis=1)
+        d = d1_in
+    d1 = d + 1
+    assert d1 <= 62, d1
+    d_rows = -(-d1 // 8) * 8
+    # rows: even count + chunk slack; cols: data+idx then [F_prev, F) bracket
+    # in lanes 62/63 (padded rows get an empty bracket [n, n) -> never match)
+    n_pad = -(-n // 16) * 16 + 2 * _CHUNK_P * 2
+    f_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), F[:-1]])
+    mat = jnp.pad(mat, ((0, 0), (0, 62 - d1)))
+    mat = jnp.concatenate([mat, f_prev[:, None], F[:, None]], axis=1)
+    mat = jnp.pad(mat, ((0, n_pad - n), (0, 0)), constant_values=n)
+    mat2 = mat.reshape(n_pad // 2, 128)
+
+    grid = jnp.arange(nb + 1, dtype=jnp.int32) * _B
+    ss = jnp.searchsorted(F, grid, side="right").astype(jnp.int32)
+    bases = jnp.stack([ss[:-1], jnp.minimum(ss[1:], n - 1)], axis=1)
+
+    out = pl.pallas_call(
+        _kernel_resample_stairs,
+        out_shape=jax.ShapeDtypeStruct((d_rows, m_pad), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=pl.BlockSpec((d_rows, _B), lambda i, bases: (0, i)),
+            scratch_shapes=[
+                pltpu.VMEM((2, _CHUNK_P, 128), jnp.int32),
+                pltpu.VMEM((128, _B), jnp.float32),
+                pltpu.VMEM((128, _B), jnp.float32),
+                pltpu.VMEM((128, _B), jnp.float32),
+                pltpu.VMEM((128, _B), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        interpret=interpret,
+    )(bases, mat2)
+    parents = out[d, :n]
+    return out[:d, :n], parents
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "has_index_col"))
 def resample_gather_transposed(matrix, F, interpret: bool = False,
                                has_index_col: bool = False):
@@ -167,8 +301,15 @@ def resample_gather_transposed(matrix, F, interpret: bool = False,
     through the same exact byte-plane select. Pass ``has_index_col=True``
     when the caller already appended ``arange(N)`` as the last column (so
     it rides the caller's single pack concat instead of a second copy).
+
+    When the total column count fits in 62 lanes, dispatches to the
+    packed-pair staircase kernel (2 source rows per VMEM row + in-row F
+    brackets -> half the MXU work per gathered row and no counting phase).
     """
     n, d1_in = matrix.shape
+    if d1_in + (0 if has_index_col else 1) <= 62:
+        return _resample_gather_packed(matrix, F, interpret=interpret,
+                                       has_index_col=has_index_col)
     assert matrix.dtype == jnp.int32
     m = n
     m_pad = -(-m // _B) * _B
