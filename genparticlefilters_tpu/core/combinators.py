@@ -240,6 +240,21 @@ class Unfold(GenFn):
                 static = False
         return Selection(entries), static
 
+    @staticmethod
+    def _skip_inactive(active, run_fn, operands):
+        """Run ``run_fn(*operands)`` only when the scalar step-activity
+        predicate holds; inactive steps return structural zeros WITHOUT
+        executing the step body. The predicate is the scan step index vs
+        the traced active length — scalar even under a particle-axis vmap,
+        so ``lax.cond`` is a real runtime branch: at init (t_active=1 of
+        max_steps) this skips ~(T-1)/T of all sampling/PRNG work, which
+        dominated pf_initialize."""
+        shapes = jax.eval_shape(run_fn, *operands)
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return lax.cond(active, lambda op: run_fn(*op),
+                        lambda op: zeros, operands)
+
     # -- GFI --------------------------------------------------------------
     def simulate(self, key, args):
         t_active, state0, params = self._split_args(args)
@@ -247,8 +262,10 @@ class Unfold(GenFn):
 
         def body(state, t):
             k = jr.fold_in(key, t)
-            tr = self.step.simulate(k, (t, state) + params)
             a = t < t_active
+            tr = self._skip_inactive(
+                a, lambda k_, s_, t_: self.step.simulate(k_, (t_, s_) + params),
+                (k, state, t))
             new_state = _tree_where(a, tr.retval, state)
             return new_state, (tr, new_state)
 
@@ -266,8 +283,11 @@ class Unfold(GenFn):
         def body(state, xs):
             t, step_c = xs
             k = jr.fold_in(key, t)
-            tr, w = self.step.generate(k, (t, state) + params, step_c)
             a = t < t_active
+            tr, w = self._skip_inactive(
+                a, lambda k_, s_, t_, c_: self.step.generate(
+                    k_, (t_, s_) + params, c_),
+                (k, state, t, step_c))
             new_state = _tree_where(a, tr.retval, state)
             return new_state, (tr, new_state, w)
 
