@@ -275,8 +275,30 @@ class Unfold(GenFn):
         inner = _inner(_slim_steps(steps), t_active)
         return Trace(self, args, states, score, inner)
 
+    def _empty_trace(self, key, args):
+        """A t_active=0 trace (all steps inactive): structural zeros built
+        from an abstract evaluation of simulate — no step body executes."""
+        _, state0, params = self._split_args(args)
+        zero_args = (jnp.asarray(0, jnp.int32), state0) + params
+        shapes = jax.eval_shape(lambda k: self.simulate(k, zero_args), key)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
     def generate(self, key, args, constraints: ChoiceMap = EMPTY):
         t_active, state0, params = self._split_args(args)
+        # small static active length: build the trace by extending an empty
+        # (zeros) trace with the O(k) incremental path instead of scanning
+        # all max_steps — pf_initialize at t_active=1 is the dominant case
+        # (weight = score − logq = Σ log p(constrained), the generate
+        # contract; values/masks at inactive steps are structural zeros
+        # either way)
+        if not isinstance(t_active, jax.core.Tracer):
+            k_static = int(t_active)
+            if 0 < k_static <= 2 and self.T > k_static:
+                tr0 = self._empty_trace(key, args)
+                new_tr, logq, _ = self._update_extend(
+                    key, tr0, args, constraints, k_static)
+                return new_tr, new_tr.score - logq
         dense = self._slice_cm(self._densify(constraints))
         ts = jnp.arange(self.T, dtype=jnp.int32)
 

@@ -66,5 +66,52 @@ def main():
               f"particle-updates/s", flush=True)
 
 
+def op_level():
+    """Op-level comparison: one pf_move_reweight sweep on a fixed T-step
+    state, window=2 vs full re-scan regenerate (the windowed-path claim
+    isolated from the rest of the filter)."""
+    import numpy as np
+    from genparticlefilters_tpu.models.stochastic_volatility import (
+        SVParams, make_sv_model, sv_obs_at_t, synthesize_sv_data)
+    from genparticlefilters_tpu.smc import pf_initialize, pf_move_reweight
+    from genparticlefilters_tpu.smc.rejuvenate import move_reweight
+    from genparticlefilters_tpu.core import Selection
+
+    p = SVParams()
+    y = synthesize_sv_data(jr.key(3), T, p)
+    model = make_sv_model(T, p)
+    h0 = jnp.asarray(p.mu, jnp.float32)
+    obs = jax.tree_util.tree_map(lambda x: x, sv_obs_at_t(y, 0))
+    # full-length state (t_active = T)
+    dense = None
+    from genparticlefilters_tpu.core import ChoiceMap, Entry
+    cm = ChoiceMap({("y",): Entry(y, jnp.ones((T,), bool))})
+    state = pf_initialize(jr.key(0), model, (T, h0), cm, N)
+    state = jax.block_until_ready(state)
+    sel = Selection({("h",): jnp.arange(T) == (T - 1)})
+
+    def fold(s):
+        return s.log_weights[:3], sum(
+            jnp.sum(l[:7].astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(s.traces) if l.size)
+
+    for window in (2, None):
+        @partial(jax.jit, static_argnums=(1,))
+        def many(key0, k, w=window):
+            keys = jr.split(key0, k)
+            def body(s, kk):
+                s = pf_move_reweight(kk, s, move_reweight, (sel,), window=w)
+                return s, None
+            s, _ = lax.scan(body, state, keys)
+            return fold(s)
+        for k in (1, 5):
+            _ = np.asarray(many(jr.key(0), k)[0])
+        t0 = time.time(); _ = np.asarray(many(jr.key(1), 1)[0]); e1 = time.time() - t0
+        t0 = time.time(); _ = np.asarray(many(jr.key(1), 5)[0]); e5 = time.time() - t0
+        print(f"op-level move_reweight window={window}: "
+              f"{(e5-e1)/4*1e3:.1f}ms/sweep", flush=True)
+
+
 if __name__ == "__main__":
     main()
+    op_level()
