@@ -207,24 +207,28 @@ def _kernel_resample_stairs(bases_ref, src_ref, out_ref,
                               j_lane < vals[:, 63:64])    # [S, B]
         m_o = jnp.logical_and(vals[:, 126:127] <= j_lane,
                               j_lane < vals[:, 127:128])
-        onehot = jnp.logical_or(m_e, m_o).astype(jnp.bfloat16)
+        onehot = jnp.logical_or(m_e, m_o).astype(jnp.int8)
         # int32 carry: Mosaic cannot legalize a bool vector through scf.for
         parity = parity | jnp.any(m_o, axis=0, keepdims=True).astype(jnp.int32)
         for shift, acc in ((0, acc0), (8, acc1), (16, acc2), (24, acc3)):
-            byte = jax.lax.bitwise_and(
-                jax.lax.shift_right_logical(vals, shift), 0xFF
-            ).astype(jnp.bfloat16)
+            # int8 MXU (2x bf16 rate on v5e): bias bytes to [-128,127];
+            # each output's one-hot hits exactly once across all chunks,
+            # so the exact byte is acc + 128 after the loop
+            byte = (jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(vals, shift), 0xFF)
+                - 128).astype(jnp.int8)
             # contract both dim 0 (chunk rows): [S,128] x [S,B] -> [128,B]
             acc[:] += jax.lax.dot_general(
                 byte, onehot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.int32)
         return parity
 
     parity = jax.lax.fori_loop(0, n_chunks, chunk_body,
                                jnp.zeros((1, _B), jnp.int32))
     packed = jnp.zeros((128, _B), jnp.int32)
     for shift, acc in ((0, acc0), (8, acc1), (16, acc2), (24, acc3)):
-        packed = packed | jax.lax.shift_left(acc[:].astype(jnp.int32), shift)
+        byte = jax.lax.bitwise_and(acc[:] + 128, 0xFF)  # undo the int8 bias
+        packed = packed | jax.lax.shift_left(byte, shift)
     d_out = out_ref.shape[0]                        # <= 64
     out_ref[:] = jnp.where(parity != 0, packed[64:64 + d_out, :],
                            packed[:d_out, :])
@@ -274,10 +278,10 @@ def _resample_gather_packed(matrix, F, interpret: bool = False,
             out_specs=pl.BlockSpec((d_rows, _B), lambda i, bases: (0, i)),
             scratch_shapes=[
                 pltpu.VMEM((2, _CHUNK_P, 128), jnp.int32),
-                pltpu.VMEM((128, _B), jnp.float32),
-                pltpu.VMEM((128, _B), jnp.float32),
-                pltpu.VMEM((128, _B), jnp.float32),
-                pltpu.VMEM((128, _B), jnp.float32),
+                pltpu.VMEM((128, _B), jnp.int32),
+                pltpu.VMEM((128, _B), jnp.int32),
+                pltpu.VMEM((128, _B), jnp.int32),
+                pltpu.VMEM((128, _B), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
