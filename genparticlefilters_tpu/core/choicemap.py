@@ -141,22 +141,34 @@ class ChoiceMap:
         return ChoiceMap({k: v for k, v in self.entries.items()
                           if not (k and isinstance(k[0], int))})
 
-    def resolve(self, addr, batch_axes: int = 0):
-        """Look up ``addr``; int components index the leading combinator
-        axes of dense entries, AFTER skipping ``batch_axes`` leading batch
-        (e.g. particle) axes. Returns ``Entry`` or None."""
+    def locate(self, addr):
+        """Resolve ``addr`` to ``(entry_key, idxs, entry)`` where
+        ``entry_key`` is the stored address whose entry matched, ``idxs``
+        the int components consumed as dense combinator-axis indices, and
+        ``entry`` the raw (unindexed) Entry — or None when absent."""
         comps = normalize_address(addr)
-        d = self.entries
+        d = {k: (k, v) for k, v in self.entries.items()}
         idxs = []
         for c in comps:
             if isinstance(c, int) and not any(
                     k and k[0] == c for k in d):
                 idxs.append(c)
             else:
-                d = {k[1:]: v for k, v in d.items() if k and k[0] == c}
-        e = d.get(())
-        if e is None:
+                d = {k[1:]: kv for k, kv in d.items() if k and k[0] == c}
+        kv = d.get(())
+        if kv is None:
             return None
+        return kv[0], tuple(idxs), kv[1]
+
+    def resolve(self, addr, batch_axes: int = 0):
+        """Look up ``addr``; int components index the leading combinator
+        axes of dense entries, AFTER skipping ``batch_axes`` leading batch
+        (e.g. particle) axes. Returns ``Entry`` or None."""
+        loc = self.locate(addr)
+        if loc is None:
+            return None
+        _, idxs, e = loc
+        idxs = list(idxs)
         if idxs:
             sel = (slice(None),) * batch_axes + tuple(idxs)
             value = jnp.asarray(e.value)[sel]

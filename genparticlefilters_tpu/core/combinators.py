@@ -69,21 +69,19 @@ def _and_lead(mask, active, value_ndim):
 
 
 def _onehot_read(leaf, t, T):
-    """Read ``leaf[t]`` (t traced) without a lane-dynamic gather: one-hot
-    mask + reduce. On TPU a dynamic index on the minor (time) axis lowers
-    ~60x off bandwidth-bound; the masked reduce is a fused elementwise op."""
-    sel = jax.lax.broadcasted_iota(jnp.int32, (T,), 0) == t
-    sel = sel.reshape((T,) + (1,) * (jnp.ndim(leaf) - 1))
-    if leaf.dtype == jnp.bool_:
-        return jnp.any(jnp.logical_and(leaf, sel), axis=0)
-    return jnp.sum(jnp.where(sel, leaf, 0), axis=0).astype(leaf.dtype)
+    """Read ``leaf[t]`` (t traced) as a dynamic slice on the MAJOR (time)
+    axis. The stacked trace storage is time-major (particle axis at 1; see
+    core/batching.py), so this touches only step ``t``'s lane-dense row —
+    O(N) HBM traffic, vs the full-array pass a one-hot masked reduce (or a
+    minor-axis dynamic index, in the particle-major layout) would cost."""
+    return lax.dynamic_index_in_dim(leaf, t, axis=0, keepdims=False)
 
 
 def _onehot_write(leaf, t, value, T):
-    """``leaf.at[t].set(value)`` (t traced) as a masked elementwise select."""
-    sel = jax.lax.broadcasted_iota(jnp.int32, (T,), 0) == t
-    sel = sel.reshape((T,) + (1,) * (jnp.ndim(leaf) - 1))
-    return jnp.where(sel, jnp.asarray(value, leaf.dtype), leaf)
+    """``leaf.at[t].set(value)`` (t traced) as a major-axis dynamic update
+    slice: O(N) touched bytes, and XLA aliases the buffer in scan carries."""
+    v = jnp.asarray(value, leaf.dtype)
+    return lax.dynamic_update_index_in_dim(leaf, v, t, axis=0)
 
 
 def _tree_read_at(tree, t, T):
@@ -118,8 +116,18 @@ class Unfold(GenFn):
     int32; the trace always has static shape ``[max_steps, ...]`` with steps
     ``t >= t_active`` masked inactive.
 
-    The retval is the stacked sequence of carried states ``[max_steps, ...]``
-    (entries at inactive steps repeat the last active state).
+    The retval is the stacked sequence of carried states ``[max_steps, ...]``.
+    Invariant: the FINAL slot ``[-1]`` always equals the state carried out of
+    the last active step (so extension reads its carry with a static slice);
+    other slots at inactive steps are unspecified (full-scan interpreters
+    happen to repeat the last active state there, but the O(1) extension and
+    O(window) rejuvenation paths only maintain the final slot).
+
+    Batched storage is TIME-MAJOR: across particles, stacked step/retval
+    leaves carry the particle axis at position 1 (``[T, N, ...]``, lane-dense
+    in particles — see :meth:`trace_axes` and core/batching.py), so dynamic
+    per-timestep reads/writes touch O(N) bytes and the resampling ancestry
+    gather is an in-lane gather.
     """
 
     def __init__(self, step: GenFn, max_steps: int):
@@ -452,7 +460,6 @@ class Unfold(GenFn):
             jax.tree_util.tree_map(
                 lambda l: jnp.zeros(l.shape[1:], l.dtype), old_steps),
             False)
-        steps_axis = jnp.arange(self.T, dtype=jnp.int32)
         for j in range(int(k)):
             t = t_old + j
             step_c = _tree_read_at(dense, t, self.T)
@@ -461,18 +468,14 @@ class Unfold(GenFn):
                 kj, proto, (t, state) + params, step_c)
             state = new_step.retval
             steps = _tree_write_at(steps, t, _slim_steps(new_step), self.T)
-            # retvals: the last extension step writes column t AND the
-            # inactive tail (which repeats the last active state) in ONE
-            # masked pass — mask >= t instead of == t + a separate tail fix
+            # retvals: one O(N) row write per new step; the final step also
+            # refreshes the LAST row, which by invariant always carries the
+            # current state (rows in (t_new-1, T-1) are unspecified)
+            retvals = _tree_write_at(retvals, t, state, self.T)
             if j == int(k) - 1:
-                sel = (steps_axis >= t)
-            else:
-                sel = (steps_axis == t)
-            retvals = jax.tree_util.tree_map(
-                lambda l, v: jnp.where(
-                    sel.reshape((self.T,) + (1,) * (jnp.ndim(l) - 1)),
-                    jnp.asarray(v, l.dtype), l),
-                retvals, state)
+                retvals = jax.tree_util.tree_map(
+                    lambda l, v: l.at[-1].set(jnp.asarray(v, l.dtype)),
+                    retvals, state)
             score_add = score_add + new_step.score
             logq = logq + logq_t
 
@@ -627,15 +630,17 @@ class Unfold(GenFn):
             return super().apply_regenerate_delta(tr, delta, accept)
         cols = delta["cols"]
         t_old = delta["t_old"]
-        steps_axis = jnp.arange(self.T, dtype=jnp.int32)
 
         def write_cols(old_leaf, col_vals):
+            # per window step: one O(N) row read + accept-masked select +
+            # one O(N) row write (the time-major layout makes a dynamic
+            # step row a contiguous lane-dense slice)
             out = old_leaf
             for (t_c, active_j, _, _), v in zip(cols, col_vals):
-                sel = jnp.logical_and(steps_axis == t_c,
-                                      jnp.logical_and(accept, active_j))
-                sel = sel.reshape((self.T,) + (1,) * (jnp.ndim(out) - 1))
-                out = jnp.where(sel, jnp.asarray(v, out.dtype), out)
+                take = jnp.logical_and(accept, active_j)
+                old_row = _onehot_read(out, t_c, self.T)
+                new_row = jnp.where(take, jnp.asarray(v, out.dtype), old_row)
+                out = _onehot_write(out, t_c, new_row, self.T)
             return out
 
         old_steps = tr.inner["steps"]
@@ -648,9 +653,11 @@ class Unfold(GenFn):
 
         def write_retvals(old_leaf, last_v, *vs):
             out = write_cols(old_leaf, vs)
-            tail = jnp.logical_and(steps_axis >= t_old, accept)
-            tail = tail.reshape((self.T,) + (1,) * (jnp.ndim(out) - 1))
-            return jnp.where(tail, jnp.asarray(last_v, out.dtype), out)
+            # carry row: last row = state at t_old-1 (rows in (t_old-1, T-1)
+            # are unspecified, so only the invariant row needs refreshing)
+            new_last = jnp.where(accept, jnp.asarray(last_v, out.dtype),
+                                 out[-1])
+            return out.at[-1].set(new_last)
 
         retvals = jax.tree_util.tree_map(
             write_retvals, tr.retval, last, *col_states)
@@ -719,12 +726,10 @@ class Unfold(GenFn):
                                     _tree_read_at(tr.retval, t_c, self.T),
                                     old_state)
 
-        steps_axis = jnp.arange(self.T, dtype=jnp.int32)
+        # refresh the carry row (last row = state at t_old-1, the invariant
+        # extension reads); rows in (t_old-1, T-1) stay unspecified
         retvals = jax.tree_util.tree_map(
-            lambda stk, last: jnp.where(
-                (steps_axis >= t_old).reshape(
-                    (self.T,) + (1,) * (jnp.ndim(stk) - 1)),
-                jnp.asarray(last, stk.dtype), stk),
+            lambda stk, last: stk.at[-1].set(jnp.asarray(last, stk.dtype)),
             retvals, state)
         inner = _inner(steps, t_old)
         new_tr = Trace(self, new_args, retvals, tr.score + score_delta, inner)
@@ -819,6 +824,54 @@ class Unfold(GenFn):
             new_om = jnp.logical_and(om, m)
         inner = _inner(tr.inner["steps"], tr.inner["t"], new_om)
         return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
+
+    def trace_axes(self, tr: Trace, axis: int = 0, args_shared: bool = False):
+        """Time-major batched layout: stacked step and retval leaves hold the
+        particle axis AFTER the time axis (position ``axis+1``); the active
+        length ``t`` is ALWAYS shared across particles (spec ``None`` — the
+        SMC layer extends all particles in lockstep, and an unbatched ``t``
+        is what lets the extension write lower to one O(N)
+        ``dynamic_update_slice`` instead of a per-particle scatter)."""
+        from .batching import gen_spec, _const_spec
+        inner = tr.inner
+        spec_inner = {
+            "steps": self.step.trace_axes(inner["steps"], axis + 1),
+            "t": None,
+        }
+        if "outer_mask" in inner:
+            spec_inner["outer_mask"] = gen_spec(inner["outer_mask"], axis)
+        if args_shared:
+            args_spec = _const_spec(tr.args, None)
+        else:
+            # sub-call position: state0/params may derive from per-particle
+            # upstream values; the active length stays shared by contract
+            args_spec = ((None,) + tuple(gen_spec(a, axis) for a in tr.args[1:])
+                         if tr.args else ())
+        return Trace(self, args_spec, gen_spec(tr.retval, axis + 1), axis,
+                     spec_inner)
+
+    def trace_choice_axes(self, tr: Trace, axis: int = 0):
+        steps = tr.inner["steps"]
+        return self.step.trace_choice_axes(steps, axis + 1)
+
+    def select_trace(self, accept, new_tr: Trace, old_tr: Trace) -> Trace:
+        """Accept/reject select keeping the lockstep active length (and any
+        args) from the NEW trace — they agree on both sides by the MH-kernel
+        contract, and selecting them would batch layout-shared leaves."""
+        from .gfi import select_batched
+        steps = select_batched(accept, new_tr.inner["steps"],
+                               old_tr.inner["steps"])
+        om_new = _outer_mask(new_tr)
+        om_old = _outer_mask(old_tr)
+        if om_new is True and om_old is True:
+            om = True
+        else:
+            om = jnp.where(accept, jnp.asarray(om_new, bool),
+                           jnp.asarray(om_old, bool))
+        inner = _inner(steps, new_tr.inner["t"], om)
+        return Trace(self, new_tr.args,
+                     select_batched(accept, new_tr.retval, old_tr.retval),
+                     jnp.where(accept, new_tr.score, old_tr.score), inner)
 
 
 class MapCombinator(GenFn):
@@ -922,3 +975,18 @@ class MapCombinator(GenFn):
         steps = self.kernel.mask_trace(tr.inner["steps"], m)
         return Trace(tr.gen_fn, tr.args, tr.retval, tr.score,
                      {"steps": steps})
+
+    def trace_axes(self, tr: Trace, axis: int = 0, args_shared: bool = False):
+        """Particle-major throughout: Map's plate axis is not dynamically
+        indexed, so nothing is gained by a deeper particle axis — every leaf
+        under the plate (including nested combinator traces and their args)
+        stacks at ``axis``."""
+        from .batching import _const_spec, gen_spec
+        args_spec = (_const_spec(tr.args, None) if args_shared
+                     else gen_spec(tr.args, axis))
+        return Trace(self, args_spec, _const_spec(tr.retval, axis), axis,
+                     {"steps": _const_spec(tr.inner["steps"], axis)})
+
+    def trace_choice_axes(self, tr: Trace, axis: int = 0):
+        return {k: axis for k in
+                self.kernel.trace_choice_axes(tr.inner["steps"], axis)}

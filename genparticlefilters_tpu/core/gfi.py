@@ -182,10 +182,21 @@ class GenFn:
 
     def apply_regenerate_delta(self, tr: Trace, delta, accept):
         """Produce the accepted-or-original trace from a regenerate delta.
-        Default: elementwise select between the two full traces."""
-        import jax.numpy as _jnp
-        return jax.tree_util.tree_map(
-            lambda a, b: _jnp.where(accept, a, b), delta, tr)
+        Default: structure-aware elementwise select between the two full
+        traces (:meth:`select_trace`)."""
+        return self.select_trace(accept, delta, tr)
+
+    def select_trace(self, accept, new_tr: Trace, old_tr: Trace) -> Trace:
+        """``where(accept, new, old)`` over two traces of this gen fn with
+        layout knowledge: stored args pass through from ``new_tr``
+        unselected (accept/reject kernels never change args, and selecting
+        them would batch values the layout contract keeps shared across
+        particles — see :meth:`trace_axes`). Sub-traces recurse through
+        their own gen fn."""
+        return Trace(self, new_tr.args,
+                     select_batched(accept, new_tr.retval, old_tr.retval),
+                     select_batched(accept, new_tr.score, old_tr.score),
+                     select_batched(accept, new_tr.inner, old_tr.inner))
 
     # -- internal protocol (used by masked combinators) -------------------
     def _update(self, key, tr, new_args, constraints, argdiffs=None):
@@ -227,10 +238,68 @@ class GenFn:
         """AND every choice's presence mask with ``m`` (traced bool ok)."""
         raise NotImplementedError
 
+    # -- batching layout (see core/batching.py) ----------------------------
+    def trace_axes(self, tr: Trace, axis: int = 0, args_shared: bool = False):
+        """Particle-axis spec pytree for this trace when stacked across
+        particles: same structure as ``tr``, each leaf an int axis position
+        or ``None`` for values shared across particles.
+
+        ``args_shared=True`` (the top-level SMC convention — every verb
+        passes ONE args tuple for the whole particle set) marks the stored
+        args as unbatched, so they are never broadcast into [N]-copies nor
+        moved by resampling gathers. Sub-call traces inside a model keep
+        batched args (they derive from per-particle upstream values).
+        Combinators override to keep their stacked step storage time-major
+        (particle axis after the static step axis)."""
+        from .batching import gen_spec, _const_spec
+        args_spec = (_const_spec(tr.args, None) if args_shared
+                     else gen_spec(tr.args, axis))
+        return Trace(self, args_spec, gen_spec(tr.retval, axis), axis,
+                     gen_spec(tr.inner, axis))
+
+    def trace_choice_axes(self, tr: Trace, axis: int = 0):
+        """``{address: particle-axis}`` for every entry of
+        ``trace_choices(tr)`` (the choicemap companion of
+        :meth:`trace_axes`)."""
+        return {k: axis for k in self.trace_choices(tr).entries}
+
     def __call__(self, *args):
         """Inside a @gen body, ``gf(args...)`` at an address via trace()."""
         raise TypeError(
             "Generative functions must be invoked via trace(addr, gf, args).")
+
+
+def tree_select_shared(a, b) -> bool:
+    """True when two tree leaves are interchangeable for an accept/reject
+    select: the same object, or equal concrete scalars (a fresh
+    ``asarray(t)`` of an unchanged combinator length, a Python int arg).
+    Keeping such leaves un-selected preserves their unbatched layout under
+    a per-particle accept mask."""
+    if a is b:
+        return True
+    if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+        return False
+    try:
+        if jnp.ndim(a) != 0 or jnp.ndim(b) != 0:
+            return False
+        return bool(jnp.asarray(a) == jnp.asarray(b))
+    except Exception:
+        return False
+
+
+def select_batched(accept, new, old):
+    """``where(accept, new, old)`` over a container, dispatching nested
+    traces to :meth:`GenFn.select_trace` (so combinator-shared leaves — the
+    lockstep active length, stored args — keep their unbatched layout) and
+    skipping leaves shared on both sides."""
+    def one(a, b):
+        if isinstance(a, Trace):
+            return a.gen_fn.select_trace(accept, a, b)
+        if tree_select_shared(a, b):
+            return a
+        return jnp.where(accept, a, b)
+    return jax.tree_util.tree_map(one, new, old,
+                                  is_leaf=lambda x: isinstance(x, Trace))
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +747,13 @@ class DynamicGenFn(GenFn):
                 for a, s in tr.inner["subs"].items()}
         inner = {"sites": sites, "subs": subs}
         return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
+
+    def trace_choice_axes(self, tr: Trace, axis: int = 0):
+        out = {a: axis for a in tr.inner["sites"]}
+        for addr, sub in tr.inner["subs"].items():
+            for k, ax in sub.gen_fn.trace_choice_axes(sub, axis).items():
+                out[addr + k] = ax
+        return out
 
 
 def gen(fn: Callable) -> DynamicGenFn:

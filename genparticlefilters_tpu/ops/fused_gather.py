@@ -30,7 +30,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gather_transposed_clustered", "resample_gather_transposed"]
+__all__ = ["gather_transposed_clustered", "resample_gather_transposed",
+           "gather_rows_clustered", "resample_gather_rows"]
+
+
+def gather_rows_clustered(big, parents, interpret: bool = False):
+    """In-lane clustered gather for a lane-dense [D, N] packed matrix:
+    ``out[:, j] = big[:, parents[j]]`` (time-major trace packing). Currently
+    routed through the row-oriented kernel via one full-matrix transpose;
+    the kernel's output is already lane-dense, so no unpack transposes."""
+    return gather_transposed_clustered(big.T, parents, interpret=interpret)
+
+
+def resample_gather_rows(big, F, has_index_row: bool = False,
+                         interpret: bool = False):
+    """Fused resampling gather for a lane-dense [D, N] packed matrix and
+    cumulative hit counts ``F`` (see :func:`resample_gather_transposed`).
+    Returns ``(out [D, N] lane-dense, parents [N])``."""
+    return resample_gather_transposed(big.T, F, interpret=interpret,
+                                      has_index_col=has_index_row)
 
 _B = 512       # output rows (particles) per grid step
 _CHUNK = 512   # source rows per DMA slab

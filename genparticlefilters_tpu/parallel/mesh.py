@@ -35,18 +35,23 @@ def particle_mesh(devices=None, axis_name: str = PARTICLE_AXIS) -> Mesh:
 
 def state_sharding(mesh: Mesh, state: ParticleFilterState,
                    axis_name: str = PARTICLE_AXIS):
-    """Sharding pytree: leaves with a leading particle axis are sharded on
-    it; scalars (log_ml_est) are replicated."""
+    """Sharding pytree: every leaf is sharded along its particle axis (the
+    per-leaf position comes from the trace layout spec — time-major stacked
+    leaves shard axis 1); particle-shared leaves and scalars are
+    replicated."""
+    from ..core.batching import axes_spec, spec_map
     n = state.n_particles
+    spec = axes_spec(state)
 
-    def leaf_sharding(leaf):
-        if hasattr(leaf, "shape") and len(jnp.shape(leaf)) > 0 \
-                and jnp.shape(leaf)[0] == n:
-            return NamedSharding(
-                mesh, P(axis_name, *([None] * (len(jnp.shape(leaf)) - 1))))
+    def leaf_sharding(leaf, ax):
+        shape = jnp.shape(leaf) if hasattr(leaf, "shape") else ()
+        if (ax is not None and len(shape) > ax and shape[ax] == n):
+            parts = [None] * len(shape)
+            parts[ax] = axis_name
+            return NamedSharding(mesh, P(*parts))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(leaf_sharding, state)
+    return spec_map(leaf_sharding, state, spec)
 
 
 def replicated_sharding(mesh: Mesh):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
+from ..core.batching import vmap_gfi
 from ..core.choicemap import ChoiceMap, EMPTY
 from ..core.gfi import GenFn
 from ..utils.stratification import (stratum_assignment, stack_strata,
@@ -57,13 +58,13 @@ def pf_initialize(key, model: GenFn, model_args, observations: ChoiceMap,
             def one(k):
                 tr, w = model.generate(k, model_args, observations)
                 return tr, w
-            traces, ws = jax.vmap(one)(keys)
+            traces, ws = vmap_gfi(one, keys)
         else:
             def one(k, stratum):
                 constraints = stratum.merge(observations)
                 tr, w = model.generate(k, model_args, constraints)
                 return tr, w
-            traces, ws = jax.vmap(one)(keys, per_particle)
+            traces, ws = vmap_gfi(one, keys, per_particle)
     else:
         p_args = tuple(proposal_args) if proposal_args is not None else ()
         if per_particle is None:
@@ -73,7 +74,7 @@ def pf_initialize(key, model: GenFn, model_args, observations: ChoiceMap,
                 constraints = observations.merge(prop_choices)
                 tr, model_w = model.generate(k2, model_args, constraints)
                 return tr, model_w - prop_w
-            traces, ws = jax.vmap(one)(keys)
+            traces, ws = vmap_gfi(one, keys)
         else:
             def one(k, stratum):
                 k1, k2 = jr.split(k)
@@ -81,6 +82,6 @@ def pf_initialize(key, model: GenFn, model_args, observations: ChoiceMap,
                 constraints = stratum.merge(observations).merge(prop_choices)
                 tr, model_w = model.generate(k2, model_args, constraints)
                 return tr, model_w - prop_w
-            traces, ws = jax.vmap(one)(keys, per_particle)
+            traces, ws = vmap_gfi(one, keys, per_particle)
 
     return pf_state(traces, ws + log_nk)

@@ -34,7 +34,11 @@ __all__ = ["pf_rejuvenate", "pf_move_accept", "pf_move_reweight",
 
 
 def _tree_select(cond, a, b):
-    return jax.tree_util.tree_map(lambda x, y: jnp.where(cond, x, y), a, b)
+    """Accept/reject select with trace-structure knowledge (shared leaves —
+    lockstep combinator lengths, stored args — keep their unbatched
+    layout); see :func:`~..core.gfi.select_batched`."""
+    from ..core.gfi import select_batched
+    return select_batched(cond, a, b)
 
 
 def _nochange(args):
@@ -42,18 +46,18 @@ def _nochange(args):
 
 
 def check_observations(choices: ChoiceMap, observations: ChoiceMap,
-                       atol=1e-5, batch_axes: int = 0):
+                       atol=1e-5, entry_axes=None):
     """Eager check that observed choices are preserved (Gen's
     ``check_observations``; ref: src/rejuvenate.jl:5,130). For batched
-    (particle-axis) choicemaps pass ``batch_axes=1`` so integer address
-    components index combinator axes, not the particle axis. Silently
-    skipped under tracing."""
+    (particle-axis) choicemaps pass ``entry_axes`` (the per-entry particle
+    axis map from :func:`~..core.batching.choice_axes`) so values compare
+    particle-first. Silently skipped under tracing."""
     if observations is EMPTY or not observations.entries:
         return
     from .state import batched_choice_entry
     for k, e in observations.entries.items():
         try:
-            gv, _ = batched_choice_entry(choices, k, batch_axes=batch_axes)
+            gv, _ = batched_choice_entry(choices, k, entry_axes)
         except KeyError:
             raise ValueError(f"observation at {k} missing from trace")
         gv = jnp.asarray(gv)
@@ -188,7 +192,8 @@ def _sweeps(key, traces, kern, kern_args, n_iters, kwargs):
             jnp.arange(n_iters, dtype=jnp.int32))
         return tr_out, aux_sum, aux_all
 
-    return jax.vmap(per_particle)(keys, traces)
+    from ..core.batching import vmap_gfi
+    return vmap_gfi(per_particle, keys, traces)
 
 
 def _post_check(kwargs, new_traces):
@@ -201,7 +206,9 @@ def _post_check(kwargs, new_traces):
 
 def _verify_observations(check, observations, traces):
     if check and observations is not EMPTY:
-        check_observations(traces.get_choices(), observations, batch_axes=1)
+        from ..core.batching import choice_axes
+        check_observations(traces.get_choices(), observations,
+                           entry_axes=choice_axes(traces.gen_fn, traces))
 
 
 def pf_move_accept(key, state, kern=mh, kern_args=(), n_iters: int = 1,

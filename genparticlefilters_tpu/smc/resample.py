@@ -174,50 +174,71 @@ def systematic_parents(key, weights, n_out: int | None = None,
 # State-level resampling
 # ---------------------------------------------------------------------------
 
-def _pack_leaves(leaves):
-    """Flatten 4-byte leaves into one [N, D] int32 matrix; returns
-    (cols, meta) where meta = (dtype, shape, width) per leaf (width 0 for
-    leaves gathered directly)."""
-    cols, meta = [], []
-    for l in leaves:
-        if l.ndim == 0 or (jnp.issubdtype(l.dtype, jnp.floating)
-                           and l.dtype != jnp.float32):
-            cols.append(None)
-            meta.append((l.dtype, l.shape, 0))
+def _flatten_with_axes(traces):
+    """(leaves, per-leaf particle-axis list, treedef) — the axis placement
+    comes from the trace's generative function (core/batching.py)."""
+    from ..core.batching import axes_spec
+    leaves, treedef = jax.tree_util.tree_flatten(traces)
+    axes = treedef.flatten_up_to(axes_spec(traces))
+    return leaves, axes, treedef
+
+
+def _pack_rows(leaves, axes):
+    """Pack gatherable 4-byte leaves into lane-dense [w, N] int32 row
+    blocks — particle axis LAST, so the time-major stacked leaves ([T, N])
+    concatenate with zero data movement. Returns (rows, meta) where
+    meta = (dtype, shape, width, particle_axis); width 0 marks pass-through
+    leaves (odd dtypes, scalars, or particle-shared ``None``-axis leaves)."""
+    rows, meta = [], []
+    for l, ax in zip(leaves, axes):
+        packable = (hasattr(l, "dtype") and ax is not None
+                    and l.ndim > 0 and l.size > 0
+                    and (l.dtype in (jnp.int32, jnp.uint32, jnp.bool_)
+                         or l.dtype == jnp.float32))
+        if not packable:
+            rows.append(None)
+            meta.append((getattr(l, "dtype", None), jnp.shape(l), 0, ax))
             continue
         if l.dtype == jnp.float32:
             flat = jax.lax.bitcast_convert_type(l, jnp.int32)
         elif l.dtype == jnp.bool_:
             flat = l.astype(jnp.int32)
-        elif l.dtype in (jnp.int32, jnp.uint32):
-            flat = l.astype(jnp.int32) if l.dtype != jnp.int32 else l
         else:
-            cols.append(None)
-            meta.append((l.dtype, l.shape, 0))
-            continue
-        flat = flat.reshape(l.shape[0], -1)
-        cols.append(flat)
-        meta.append((l.dtype, l.shape, flat.shape[1]))
-    return cols, meta
+            flat = l if l.dtype == jnp.int32 else l.astype(jnp.int32)
+        n = l.shape[ax]
+        if ax != l.ndim - 1:
+            flat = jnp.moveaxis(flat, ax, -1)
+        rows.append(flat.reshape(-1, n))
+        meta.append((l.dtype, l.shape, l.size // n, ax))
+    return rows, meta
 
 
-def _unpack_leaves(big, leaves, cols, meta, parents, n):
+def _unpack_rows(big, leaves, meta, parents, n):
+    """Rebuild trace leaves from the gathered lane-dense [D, n] matrix
+    (sublane slices; time-major leaves reshape back with zero movement)."""
     out_leaves = []
     off = 0
-    for l, c, (dtype, shape, width) in zip(leaves, cols, meta):
-        if c is None:
-            out_leaves.append(l[parents] if l.ndim > 0 else l)
+    for l, (dtype, shape, width, ax) in zip(leaves, meta):
+        if width == 0:
+            if ax is None or jnp.ndim(l) == 0:
+                out_leaves.append(l)
+            else:
+                out_leaves.append(jnp.take(l, parents, axis=ax))
             continue
-        seg = big[:, off:off + width]
+        seg = big[off] if width == 1 else big[off:off + width]
         off += width
-        new_shape = (n,) + shape[1:]
         if dtype == jnp.float32:
-            out_leaves.append(jax.lax.bitcast_convert_type(
-                seg, jnp.float32).reshape(new_shape))
+            seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
         elif dtype == jnp.bool_:
-            out_leaves.append((seg != 0).reshape(new_shape))
-        else:
-            out_leaves.append(seg.astype(dtype).reshape(new_shape))
+            seg = seg != 0
+        elif dtype != jnp.int32:
+            seg = seg.astype(dtype)
+        new_shape = tuple(shape[:ax]) + tuple(shape[ax + 1:]) + (n,)
+        if seg.shape != new_shape:
+            seg = seg.reshape(new_shape)
+        if ax != len(shape) - 1:
+            seg = jnp.moveaxis(seg, -1, ax)
+        out_leaves.append(seg)
     return out_leaves
 
 
@@ -248,83 +269,53 @@ def _maybe_partitioned(x) -> bool:
 def _gather_traces(traces, parents, clustered: bool = False):
     """Ancestry gather ``traces[parents]`` over the particle axis.
 
-    All 4-byte leaves are flattened and concatenated into a single [N, D]
-    matrix, gathered in ONE row-gather, and split back (an optimization
-    barrier pins the packed form — XLA would otherwise rewrite it into
-    per-leaf gathers, each paying a full (8,128)-tile read per row).
+    All 4-byte leaves are packed lane-dense into a single [D, N] matrix
+    (time-major stacked leaves concatenate for free), gathered in ONE
+    in-lane gather, and split back (an optimization barrier pins the packed
+    form — XLA would otherwise rewrite it into per-leaf gathers, each paying
+    a full (8,128)-tile read per row).
 
     With ``clustered=True`` (non-decreasing parents from offspring-count
-    resampling) and ``config.clustered_gather`` enabled, gather AND unpack
-    run in one fused Pallas kernel (ops/fused_gather.py: ranged DMA + exact
-    one-hot MXU select, each leaf written straight from VMEM) — measured
-    ~4x over take-then-unpack at N=100K, whose narrow lane-slices re-read
-    full (8,128) tiles per leaf.
+    resampling) and ``config.clustered_gather`` enabled, the gather runs in
+    a fused Pallas kernel (ops/fused_gather.py: ranged DMA + exact one-hot
+    MXU select) emitting the packed [D, n] matrix directly.
     """
     from .. import config as _config
-    leaves, treedef = jax.tree_util.tree_flatten(traces)
+    leaves, axes, treedef = _flatten_with_axes(traces)
     n = parents.shape[0]
-    cols, meta = _pack_leaves(leaves)
-    packed = [c for c in cols if c is not None]
-    use_pallas = (packed and clustered and _config.clustered_gather
-                  and jax.devices()[0].platform == "tpu"
-                  and not _maybe_partitioned(parents))
-    if use_pallas:
-        big = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
-        big = jax.lax.optimization_barrier(big)
-        from ..ops.fused_gather import gather_transposed_clustered
-        bigT = gather_transposed_clustered(big, parents)  # [D, n] lane-dense
-        out_leaves = _unpack_transposed(bigT, leaves, cols, meta, parents, n)
-        return jax.tree_util.tree_unflatten(treedef, out_leaves)
+    rows, meta = _pack_rows(leaves, axes)
+    packed = [r for r in rows if r is not None]
     big = None
     if packed:
-        big = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
+        big = jnp.concatenate(packed, axis=0) if len(packed) > 1 else packed[0]
         big = jax.lax.optimization_barrier(big)
-        big = jnp.take(big, parents, axis=0)
-        big = jax.lax.optimization_barrier(big)
-    out_leaves = _unpack_leaves(big, leaves, cols, meta, parents, n)
+        use_pallas = (clustered and _config.clustered_gather
+                      and jax.devices()[0].platform == "tpu"
+                      and not _maybe_partitioned(parents))
+        if use_pallas:
+            from ..ops.fused_gather import gather_rows_clustered
+            big = gather_rows_clustered(big, parents)  # [D, n] lane-dense
+        else:
+            big = jnp.take(big, parents, axis=1)
+            big = jax.lax.optimization_barrier(big)
+    out_leaves = _unpack_rows(big, leaves, meta, parents, n)
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
-
-
-def _unpack_transposed(bigT, leaves, cols, meta, parents, n):
-    """Reconstruct trace leaves from the kernel's lane-dense [D, n] output
-    (sublane slices + thin transposes; width-1 leaves are bare rows)."""
-    out_leaves = []
-    off = 0
-    for l, c, (dtype, shape, width) in zip(leaves, cols, meta):
-        if c is None:
-            out_leaves.append(l[parents] if l.ndim > 0 else l)
-            continue
-        new_shape = (n,) + shape[1:]
-        seg = bigT[off] if width == 1 else bigT[off:off + width]
-        off += width
-        if dtype == jnp.float32:
-            seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
-        elif dtype == jnp.bool_:
-            seg = seg != 0
-        elif dtype != jnp.int32:
-            seg = seg.astype(dtype)
-        if width != 1:
-            seg = seg.T
-        if seg.shape != new_shape:
-            seg = seg.reshape(new_shape)
-        out_leaves.append(seg)
-    return out_leaves
 
 
 def _gather_traces_from_F(traces, F):
     """Fused resampling gather directly from cumulative hit counts: parent
     construction (replacing the XLA scatter in ``counts_to_parents``), the
-    ancestry row-gather, and the per-leaf unpack all run in one Pallas
-    kernel pass (ops/fused_gather.py). Returns ``(new_traces, parents)``."""
-    leaves, treedef = jax.tree_util.tree_flatten(traces)
+    ancestry gather, and the per-leaf unpack all run in one Pallas kernel
+    pass (ops/fused_gather.py). Returns ``(new_traces, parents)``."""
+    leaves, axes, treedef = _flatten_with_axes(traces)
     n = F.shape[0]
-    cols, meta = _pack_leaves(leaves)
-    packed = [c for c in cols if c is not None]
-    packed.append(jnp.arange(n, dtype=jnp.int32)[:, None])  # -> parents
-    big = jax.lax.optimization_barrier(jnp.concatenate(packed, axis=1))
-    from ..ops.fused_gather import resample_gather_transposed
-    bigT, parents = resample_gather_transposed(big, F, has_index_col=True)
-    out_leaves = _unpack_transposed(bigT, leaves, cols, meta, parents, n)
+    rows, meta = _pack_rows(leaves, axes)
+    packed = [r for r in rows if r is not None]
+    packed.append(jnp.arange(n, dtype=jnp.int32)[None, :])  # -> parents
+    big = jax.lax.optimization_barrier(jnp.concatenate(packed, axis=0))
+    from ..ops.fused_gather import resample_gather_rows
+    bigT, parents = resample_gather_rows(big, F, has_index_row=True)
+    out_leaves = _unpack_rows(bigT, leaves, meta, parents, n)
     return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
 
 

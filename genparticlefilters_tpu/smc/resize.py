@@ -246,16 +246,20 @@ def pf_dereplicate(key, state, n_replicates: int, layout: str = "contiguous",
 # ---------------------------------------------------------------------------
 
 def _coalesce_key_matrix(state, by):
+    from ..core.batching import choice_axes, moveaxis_to_front
     if by is None:
         # masked (absent) values are zeroed so only *present* choices
-        # distinguish particles (Gen's choicemap equality semantics)
+        # distinguish particles (Gen's choicemap equality semantics);
+        # time-major entries are moved particle-first for row keys
+        traces = state.traces
+        axes = choice_axes(traces.gen_fn, traces)
         leaves = []
-        for _, e in sorted(state.traces.get_choices().entries.items(),
+        for k, e in sorted(traces.get_choices().entries.items(),
                            key=lambda kv: repr(kv[0])):
             v = jnp.asarray(e.value)
             if e.mask is not True:
                 v = jnp.where(e.mask_array(), v, jnp.zeros_like(v))
-            leaves.append(v)
+            leaves.append(moveaxis_to_front(v, axes.get(k, 0)))
     else:
         out = by(state.traces)
         leaves = [jnp.asarray(l) for l in jax.tree_util.tree_leaves(out)]
@@ -342,14 +346,15 @@ def pf_introduce(key, state, observations: ChoiceMap, n_particles: int,
     """Append ``n_particles`` fresh constrained particles; any nonzero LML
     estimate is folded back into the existing weights first
     (ref: src/resize.jl:361-365)."""
+    from ..core.batching import vmap_gfi, tree_concat
     model = model if model is not None else state.traces.get_gen_fn()
     if model_args is None:
-        model_args = jax.tree_util.tree_map(lambda l: l[0], state.traces.args)
+        model_args = state.traces.args  # shared across particles
     lw = state.log_weights + state.log_ml_est
     keys = jr.split(key, n_particles)
     if proposal is None:
-        new_traces, ws = jax.vmap(
-            lambda k: model.generate(k, model_args, observations))(keys)
+        new_traces, ws = vmap_gfi(
+            lambda k: model.generate(k, model_args, observations), keys)
     else:
         p_args = tuple(proposal_args or ())
 
@@ -359,10 +364,8 @@ def pf_introduce(key, state, observations: ChoiceMap, n_particles: int,
             tr, model_w = model.generate(
                 k2, model_args, observations.merge(prop_choices))
             return tr, model_w - prop_w
-        new_traces, ws = jax.vmap(one)(keys)
-    traces = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], axis=0),
-        state.traces, new_traces)
+        new_traces, ws = vmap_gfi(one, keys)
+    traces = tree_concat(state.traces, new_traces)
     n_total = state.n_particles + n_particles
     return ParticleFilterState(
         traces, jnp.concatenate([lw, ws]),

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
+from ..core.batching import (axes_spec, choice_axes, tree_take, tree_put,
+                             moveaxis_to_front)
 from ..core.choicemap import ChoiceMap, normalize_address
 from ..core.gfi import Trace
 from ..utils.weights import (lognorm, softmax, ess_from_log_weights,
@@ -100,8 +102,7 @@ class ParticleFilterSubState:
 
     @property
     def traces(self) -> Trace:
-        return jax.tree_util.tree_map(lambda l: l[self.idxs],
-                                      self.source.traces)
+        return tree_take(self.source.traces, self.idxs)
 
     @property
     def log_weights(self):
@@ -117,9 +118,7 @@ class ParticleFilterSubState:
         src = self.source
         new_traces = src.traces
         if traces is not None:
-            new_traces = jax.tree_util.tree_map(
-                lambda full, blk: full.at[self.idxs].set(blk),
-                src.traces, traces)
+            new_traces = tree_put(src.traces, traces, self.idxs)
         lw = src.log_weights
         if log_weights is not None:
             lw = lw.at[self.idxs].set(log_weights)
@@ -221,25 +220,49 @@ def sample_unweighted_traces(key, state, n_samples: int) -> Trace:
     Inverse-CDF sampling: linear memory in the particle count."""
     from .resample import multinomial_parents
     idx = multinomial_parents(key, get_norm_weights(state), n_samples)
-    return jax.tree_util.tree_map(lambda l: l[idx], state.traces)
+    return tree_take(state.traces, idx)
 
 
 # ---------------------------------------------------------------------------
 # Batched address resolution (used by statistics)
 # ---------------------------------------------------------------------------
 
-def batched_choice_entry(choices: ChoiceMap, addr, batch_axes: int = 1):
-    """Resolve ``addr`` against a choicemap whose entries carry
-    ``batch_axes`` leading batch axes (the particle axis); thin wrapper
-    over :meth:`ChoiceMap.resolve`."""
-    e = choices.resolve(addr, batch_axes=batch_axes)
-    if e is None:
+def batched_choice_entry(choices: ChoiceMap, addr, entry_axes=None):
+    """Resolve ``addr`` against a choicemap, returning ``(value, mask)``.
+
+    ``entry_axes`` maps each stored entry address to its particle-axis
+    position (see :func:`~..core.batching.choice_axes` — Unfold entries are
+    time-major, so theirs is 1). When given, the returned value/mask are
+    PARTICLE-FIRST (``[N, ...]``) regardless of storage layout, and int
+    address components index the combinator axes after the particle axis is
+    moved to the front. ``entry_axes=None`` means an unbatched
+    (per-particle) choicemap: plain combinator-axis indexing."""
+    loc = choices.locate(addr)
+    if loc is None:
         raise KeyError(addr)
-    return e.value, e.mask
+    key, idxs, e = loc
+    v = jnp.asarray(e.value)
+    m = e.mask if e.mask is True else e.mask_array()
+    if entry_axes is not None:
+        ax = entry_axes.get(key, 0)
+        v = moveaxis_to_front(v, ax)
+        if m is not True:
+            m = moveaxis_to_front(m, ax)
+        sel = (slice(None),) + tuple(idxs)
+    else:
+        sel = tuple(idxs)
+    if idxs:
+        v = v[sel]
+        if m is not True:
+            m = m[sel]
+    return v, m
 
 
 def batched_choice(state, addr):
-    """Per-particle values at ``addr``: shape [N, ...]."""
-    choices = state.traces.get_choices()
-    v, _ = batched_choice_entry(choices, addr, batch_axes=1)
+    """Per-particle values at ``addr``: shape [N, ...] (particle-first
+    regardless of the internal time-major storage layout)."""
+    traces = state.traces
+    choices = traces.get_choices()
+    axes = choice_axes(traces.gen_fn, traces)
+    v, _ = batched_choice_entry(choices, addr, axes)
     return v

@@ -23,7 +23,14 @@ __all__ = ["mean", "var", "proportionmap"]
 
 def _values(state, addr, fn, addrs):
     if addr is None:
-        vals = state.traces.get_retval()
+        from ..core.batching import axes_spec, spec_map, moveaxis_to_front
+        traces = state.traces
+        vals = traces.get_retval()
+        # present retvals particle-first regardless of storage layout
+        rspec = axes_spec(traces).retval
+        vals = spec_map(
+            lambda v, ax: v if ax is None else moveaxis_to_front(v, ax),
+            vals, rspec)
         if fn is not None:
             vals = fn(vals)
     else:

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
+from ..core.batching import vmap_gfi
 from ..core.choicemap import ChoiceMap, EMPTY
 from ..core.gfi import GenFn
 from ..utils.stratification import (stratum_assignment, stack_strata,
@@ -101,7 +102,7 @@ def pf_update(key, state, new_args=None, argdiffs=None,
         if per_particle is None:
             def one(k, tr):
                 return translator(k, tr, **tkw)
-            new_traces, ws = jax.vmap(one)(keys, traces)
+            new_traces, ws = vmap_gfi(one, keys, traces)
         else:
             base_obs = translator.new_observations
 
@@ -109,7 +110,7 @@ def pf_update(key, state, new_args=None, argdiffs=None,
                 t = translator.replace(
                     new_observations=stratum.merge(base_obs))
                 return t(k, tr, **tkw)
-            new_traces, ws = jax.vmap(one)(keys, traces, per_particle)
+            new_traces, ws = vmap_gfi(one, keys, traces, per_particle)
         return scatter(new_traces, log_weights + ws + log_nk)
 
     # default-proposal path (ref: src/update.jl:12-25)
@@ -122,13 +123,13 @@ def pf_update(key, state, new_args=None, argdiffs=None,
             new_tr, w, _, discard = tr.gen_fn.update(
                 k, tr, new_args, argdiffs, observations)
             return new_tr, w, discard
-        new_traces, ws, discards = jax.vmap(one)(keys, traces)
+        new_traces, ws, discards = vmap_gfi(one, keys, traces)
     else:
         def one(k, tr, stratum):
             constraints = stratum.merge(observations)
             new_tr, w, _, discard = tr.gen_fn.update(
                 k, tr, new_args, argdiffs, constraints)
             return new_tr, w, discard
-        new_traces, ws, discards = jax.vmap(one)(keys, traces, per_particle)
+        new_traces, ws, discards = vmap_gfi(one, keys, traces, per_particle)
     _check_no_discard(discards, do_check)
     return scatter(new_traces, log_weights + ws + log_nk)

@@ -90,7 +90,8 @@ def test_rejuvenate_views():
     # ref: test/rejuvenate.jl:73-103
     state = g.pf_initialize(jr.key(0), line_model, (10,),
                             line_choicemap(10, 1.0), 100)
-    old_traces_hi = jax.tree_util.tree_map(lambda l: l[50:], state.traces)
+    from genparticlefilters_tpu.core.batching import tree_take
+    old_traces_hi = tree_take(state.traces, jnp.arange(50, 100))
     old_w_hi = np.asarray(state.log_weights[50:])
     state = g.pf_rejuvenate(jr.key(1), state[0:50], g.mh,
                             (g.select("slope"),), 1, method="move")

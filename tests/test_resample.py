@@ -15,8 +15,8 @@ from fixtures import line_model, line_choicemap, slope_choicemap
 
 def _ancestry_ok(old_state, new_state):
     """new_traces == old_traces[parents] (ref: test/resample.jl:11)."""
-    gathered = jax.tree_util.tree_map(
-        lambda l: l[new_state.parents], old_state.traces)
+    from genparticlefilters_tpu.core.batching import tree_take
+    gathered = tree_take(old_state.traces, new_state.parents)
     for a, b in zip(jax.tree_util.tree_leaves(gathered),
                     jax.tree_util.tree_leaves(new_state.traces)):
         if not np.array_equal(np.asarray(a), np.asarray(b)):
@@ -153,7 +153,8 @@ def test_blockwise_views(method, use_priority):
     np.testing.assert_allclose(float(g.log_ml_estimate(state)),
                                old_lml_full, atol=1e-4)
     # ancestry: parents recorded per block are block-local gathers
-    gathered = jax.tree_util.tree_map(lambda l: l[state.parents], old.traces)
+    from genparticlefilters_tpu.core.batching import tree_take
+    gathered = tree_take(old.traces, state.parents)
     for a, b in zip(jax.tree_util.tree_leaves(gathered),
                     jax.tree_util.tree_leaves(state.traces)):
         assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -16,8 +16,8 @@ from fixtures import (line_model, line_choicemap, slope_choicemap,
 
 
 def _ancestry_ok(old_state, new_state):
-    gathered = jax.tree_util.tree_map(
-        lambda l: l[new_state.parents], old_state.traces)
+    from genparticlefilters_tpu.core.batching import tree_take
+    gathered = tree_take(old_state.traces, new_state.parents)
     for a, b in zip(jax.tree_util.tree_leaves(gathered),
                     jax.tree_util.tree_leaves(new_state.traces)):
         if not np.array_equal(np.asarray(a), np.asarray(b)):
