@@ -105,6 +105,45 @@ def test_resample_gather_from_F_degenerate():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.parametrize("n,d", [(2048, 53), (1000, 21), (513, 96)])
+def test_lane_resample_gather_interpret(n, d):
+    # lane-major (time-major packing) staircase kernel vs reference gather
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows
+    from genparticlefilters_tpu.smc.resample import _F_to_parents
+    big = jr.randint(jr.key(0), (d, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    F = _F_from_weights(jr.key(n + 1), n)
+    parents_ref = _F_to_parents(F, n)
+    out, parents = resample_gather_rows(big, F, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.asarray(parents_ref))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(big, parents_ref, axis=1)))
+
+
+def test_lane_clustered_gather_interpret():
+    from genparticlefilters_tpu.ops.fused_gather import (
+        gather_rows_clustered as lane_clustered)
+    n, d, m = 2048, 29, 700
+    big = jr.randint(jr.key(0), (d, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    parents = jnp.sort(jr.randint(jr.key(1), (m,), 0, n, dtype=jnp.int32))
+    out = lane_clustered(big, parents, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(big, parents, axis=1)))
+
+
+def test_lane_resample_gather_degenerate():
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows
+    n, d = 1024, 16
+    big = jr.randint(jr.key(0), (d, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    F = jnp.where(jnp.arange(n) >= 777, n, 0).astype(jnp.int32)
+    out, parents = resample_gather_rows(big, F, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.full((n,), 777, np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.broadcast_to(big[:, 777:778],
+                                                     (d, n))))
+
+
 def test_dma_row_gather_interpret():
     n, d, m = 1024, 64, 256
     mat = jr.normal(jr.key(0), (n, d))
