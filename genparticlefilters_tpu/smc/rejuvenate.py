@@ -45,15 +45,25 @@ def _nochange(args):
     return tuple(NoChange() for _ in args)
 
 
+def _raise_obs_modified(addr, bad):
+    import numpy as np
+    if np.any(bad):
+        raise ValueError(f"observation at {addr} was modified")
+
+
 def check_observations(choices: ChoiceMap, observations: ChoiceMap,
                        atol=1e-5, entry_axes=None):
-    """Eager check that observed choices are preserved (Gen's
+    """Check that observed choices are preserved (Gen's
     ``check_observations``; ref: src/rejuvenate.jl:5,130). For batched
     (particle-axis) choicemaps pass ``entry_axes`` (the per-entry particle
     axis map from :func:`~..core.batching.choice_axes`) so values compare
-    particle-first. Silently skipped under tracing."""
+    particle-first. Eagerly this raises ``ValueError``; under jit the values
+    are tracers, so a raising ``jax.debug.callback`` is staged — the error
+    surfaces as ``jax.errors.JaxRuntimeError`` at execution time, giving the
+    ``check=True`` contract teeth inside jitted filters."""
     if observations is EMPTY or not observations.entries:
         return
+    import functools
     from .state import batched_choice_entry
     for k, e in observations.entries.items():
         try:
@@ -61,10 +71,11 @@ def check_observations(choices: ChoiceMap, observations: ChoiceMap,
         except KeyError:
             raise ValueError(f"observation at {k} missing from trace")
         gv = jnp.asarray(gv)
-        if isinstance(gv, jax.core.Tracer):
-            return  # cannot compare under tracing
         want = jnp.asarray(e.value, jnp.float32)
-        if not bool(jnp.all(jnp.abs(gv.astype(jnp.float32) - want) <= atol)):
+        bad = jnp.any(jnp.abs(gv.astype(jnp.float32) - want) > atol)
+        if isinstance(bad, jax.core.Tracer):
+            jax.debug.callback(functools.partial(_raise_obs_modified, k), bad)
+        elif bool(bad):
             raise ValueError(f"observation at {k} was modified")
 
 

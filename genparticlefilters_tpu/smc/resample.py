@@ -252,18 +252,25 @@ def _maybe_partitioned(x) -> bool:
     arrays in auto-sharding mode carry no per-array spec, but ``jax.typeof``
     exposes the abstract mesh the computation compiles against — any mesh
     with >1 device means GSPMD may partition this value, so we fall back to
-    the XLA gather path (correct under any sharding)."""
+    the XLA gather path (correct under any sharding). When introspection
+    fails entirely (JAX-version/config dependent for traced values), be
+    conservative: assume partitioned whenever >1 device exists, so an
+    inconclusive answer can never re-enable the Pallas path on sharded
+    inputs."""
     s = getattr(x, "sharding", None)
     if s is not None:
         try:
             return s.shard_shape(jnp.shape(x))[0] != jnp.shape(x)[0]
         except Exception:
-            return len(getattr(s, "device_set", ())) > 1
+            ds = getattr(s, "device_set", None)
+            if ds is not None:
+                return len(ds) > 1
+            return len(jax.devices()) > 1
     try:
         mesh = jax.typeof(x).sharding.mesh
         return getattr(mesh, "size", 0) > 1
     except Exception:
-        return False
+        return len(jax.devices()) > 1
 
 
 def _gather_traces(traces, parents, clustered: bool = False):

@@ -442,19 +442,45 @@ def _check_no_discard(discard: ChoiceMap, check: bool):
 
 
 # -- pytree registrations ---------------------------------------------------
+#
+# Model/proposal arg tuples mix STRUCTURAL Python scalars (e.g. a static
+# Unfold length, consumed by ``range``/shape logic) with data arrays. Across
+# a jit/vmap boundary the structural entries must stay Python values — a
+# traced static length breaks the model — so each tuple is split: arrays
+# flatten as pytree children, everything else rides in static aux data
+# (mirroring how jit treats Python scalars in closures).
+
+_DYN = object()  # aux-data placeholder marking a dynamic (array) slot
+
+
+def _split_static(tup):
+    import numpy as _np
+    dyn = tuple(x for x in tup
+                if isinstance(x, (jax.Array, _np.ndarray, _np.generic)))
+    spec = tuple(_DYN if isinstance(x, (jax.Array, _np.ndarray, _np.generic))
+                 else x for x in tup)
+    return dyn, spec
+
+
+def _merge_static(dyn, spec):
+    it = iter(dyn)
+    return tuple(next(it) if s is _DYN else s for s in spec)
+
 
 def _ett_flatten(t):
-    return ((t.p_new_args, t.new_observations, t.q_forward_args),
-            (t.p_argdiffs, t.q_forward, t.transform))
+    p_dyn, p_spec = _split_static(t.p_new_args)
+    f_dyn, f_spec = _split_static(t.q_forward_args)
+    return ((p_dyn, t.new_observations, f_dyn),
+            (t.p_argdiffs, t.q_forward, t.transform, p_spec, f_spec))
 
 
 def _ett_unflatten(aux, children):
-    p_argdiffs, q_forward, transform = aux
-    p_new_args, new_observations, q_forward_args = children
+    p_argdiffs, q_forward, transform, p_spec, f_spec = aux
+    p_dyn, new_observations, f_dyn = children
     return ExtendingTraceTranslator(
-        p_new_args=p_new_args, p_argdiffs=p_argdiffs,
+        p_new_args=_merge_static(p_dyn, p_spec), p_argdiffs=p_argdiffs,
         new_observations=new_observations, q_forward=q_forward,
-        q_forward_args=q_forward_args, transform=transform)
+        q_forward_args=_merge_static(f_dyn, f_spec), transform=transform)
 
 
 jax.tree_util.register_pytree_node(
@@ -462,20 +488,28 @@ jax.tree_util.register_pytree_node(
 
 
 def _utt_flatten(t):
-    return ((t.p_new_args, t.new_observations, t.q_forward_args,
-             t.q_backward_args),
-            (t.p_argdiffs, t.q_forward, t.q_backward, t.transform))
+    # p_prev_args exists precisely to keep round-trip checking usable across
+    # jit/vmap boundaries (static model args of the previous trace) — carry
+    # it as STATIC aux data so a translator passed through a pytree boundary
+    # does not silently lose it.
+    p_dyn, p_spec = _split_static(t.p_new_args)
+    f_dyn, f_spec = _split_static(t.q_forward_args)
+    b_dyn, b_spec = _split_static(t.q_backward_args)
+    return ((p_dyn, t.new_observations, f_dyn, b_dyn),
+            (t.p_argdiffs, t.q_forward, t.q_backward, t.transform,
+             t.p_prev_args, p_spec, f_spec, b_spec))
 
 
 def _utt_unflatten(aux, children):
-    p_argdiffs, q_forward, q_backward, transform = aux
-    p_new_args, new_observations, q_forward_args, q_backward_args = children
+    (p_argdiffs, q_forward, q_backward, transform, p_prev_args,
+     p_spec, f_spec, b_spec) = aux
+    p_dyn, new_observations, f_dyn, b_dyn = children
     return UpdatingTraceTranslator(
-        p_new_args=p_new_args, p_argdiffs=p_argdiffs,
+        p_new_args=_merge_static(p_dyn, p_spec), p_argdiffs=p_argdiffs,
         new_observations=new_observations,
-        q_forward=q_forward, q_forward_args=q_forward_args,
-        q_backward=q_backward, q_backward_args=q_backward_args,
-        transform=transform)
+        q_forward=q_forward, q_forward_args=_merge_static(f_dyn, f_spec),
+        q_backward=q_backward, q_backward_args=_merge_static(b_dyn, b_spec),
+        transform=transform, p_prev_args=p_prev_args)
 
 
 jax.tree_util.register_pytree_node(

@@ -181,3 +181,41 @@ def test_distributed_lml_unbiasedness():
     z_hat = np.exp(np.asarray(lmls, np.float64) - float(lml_exact))
     stderr = z_hat.std() / np.sqrt(len(z_hat))
     assert abs(z_hat.mean() - 1.0) < 4 * stderr + 0.05, (z_hat.mean(), stderr)
+
+
+def test_maybe_partitioned_conservative_when_inconclusive():
+    # Pallas fused gathers see only the local shard under GSPMD, so the
+    # sharding probe must NEVER answer "not partitioned" just because
+    # introspection failed; with >1 device an inconclusive probe must skip
+    # the fused path (advisor finding, round 2)
+    from genparticlefilters_tpu.smc.resample import _maybe_partitioned
+
+    class Opaque:  # no .sharding, jax.typeof raises
+        pass
+
+    assert len(jax.devices()) > 1
+    assert _maybe_partitioned(Opaque()) is True
+
+
+def test_maybe_partitioned_sharded_inputs():
+    from genparticlefilters_tpu.smc.resample import _maybe_partitioned
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    x = jax.device_put(jnp.arange(16, dtype=jnp.int32),
+                       NamedSharding(mesh, P("d")))
+    assert _maybe_partitioned(x) is True  # concrete, partitioned
+
+    rep = jax.device_put(jnp.arange(16, dtype=jnp.int32), jax.devices()[0])
+    assert _maybe_partitioned(rep) is False  # concrete, single device
+
+    seen = []
+
+    @jax.jit
+    def f(v):
+        seen.append(_maybe_partitioned(v))
+        return v + 1
+
+    f(x)  # traced: sharded input must be detected (or conservatively True)
+    assert seen[0] is True

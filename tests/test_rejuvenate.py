@@ -142,3 +142,41 @@ def test_mh_involution():
     assert bool(np.asarray(accept))
     np.testing.assert_allclose(float(np.asarray(new_tr["x"])), -x0,
                                atol=1e-6)
+
+
+def test_check_observations_raises_under_jit():
+    # ref: src/rejuvenate.jl:5,130 — check=True must verify observation
+    # preservation; inside jit the raising debug callback surfaces the
+    # violation as a runtime error instead of silently passing
+    import jax
+    import pytest
+
+    @g.gen
+    def xo_model():
+        x = g.trace("x", g.normal(0.0, 1.0))
+        g.trace("y", g.normal(x, 1.0))
+
+    @g.gen
+    def bad_proposal(tr):
+        g.trace("y", g.normal(100.0, 0.01))  # perturbs the observation
+
+    @g.gen
+    def good_proposal(tr):
+        g.trace("x", g.normal(0.0, 1.0))  # leaves the observation alone
+
+    obs = g.choicemap(("y", 0.0))
+    state = g.pf_initialize(jr.key(0), xo_model, (), obs, 8)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def rejuv(state, key, proposal):
+        # reweight moves unconditionally, so the bad proposal WILL clobber y
+        return g.pf_rejuvenate(key, state, kern=g.move_reweight,
+                               kern_args=(proposal, ()), method="reweight",
+                               check=True, observations=obs).log_weights
+
+    ok = np.asarray(rejuv(state, jr.key(1), good_proposal))
+    assert ok.shape == (8,)
+    with pytest.raises(Exception, match="was modified"):
+        np.asarray(rejuv(state, jr.key(2), bad_proposal))

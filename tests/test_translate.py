@@ -222,3 +222,32 @@ def test_round_trip_check_under_jit_vmap():
     assert np.all(np.isfinite(np.asarray(step(state0, True))))
     with pytest.raises(Exception, match="round-trip check failed"):
         np.asarray(step(state0, False))
+
+
+def test_translator_pytree_carries_p_prev_args():
+    # p_prev_args exists to keep round-trip checking usable inside jitted
+    # pf_update (ref: src/translate.jl:266-272); flatten/unflatten (any
+    # jit/vmap boundary) must not drop it
+    import jax
+    tr = _smcp3_translator()
+    assert tr.p_prev_args == (0,)
+    leaves, treedef = jax.tree_util.tree_flatten(tr)
+    tr2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert tr2.p_prev_args == (0,)
+
+
+def test_smcp3_check_with_translator_across_jit_boundary():
+    # the translator is built OUTSIDE jit and passed in as a pytree arg;
+    # check=True must still round-trip per particle (requires p_prev_args
+    # to survive the pytree boundary — its stored args are traced inside)
+    import jax
+
+    state0 = g.pf_initialize(jr.key(0), xy_model, (0,), g.EMPTY, 16)
+
+    @jax.jit
+    def step(state, translator):
+        return g.pf_update(jr.key(1), state, translator=translator,
+                           check=True).log_weights
+
+    lw = np.asarray(step(state0, _smcp3_translator()))
+    assert np.all(np.isfinite(lw))
