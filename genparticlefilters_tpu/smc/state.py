@@ -217,10 +217,16 @@ get_lml_est = log_ml_estimate
 
 def sample_unweighted_traces(key, state, n_samples: int) -> Trace:
     """Sample traces i.i.d. by normalized weight (ref: src/utils.jl:189-194).
-    Inverse-CDF sampling: linear memory in the particle count."""
+
+    ``multinomial_parents`` emits the draws in clustered (index-sorted)
+    order, which is fine for resampling but not for the reference's iid-list
+    contract (any prefix of the result is itself an iid sample) — so the
+    slots are randomly permuted here, an O(n_samples log² n_samples) sort
+    paid only in this user-facing API, never in the resampling hot path."""
     from .resample import multinomial_parents
-    idx = multinomial_parents(key, get_norm_weights(state), n_samples)
-    return tree_take(state.traces, idx)
+    kd, kp = jr.split(key)
+    idx = multinomial_parents(kd, get_norm_weights(state), n_samples)
+    return tree_take(state.traces, jr.permutation(kp, idx))
 
 
 # ---------------------------------------------------------------------------

@@ -96,9 +96,9 @@ def main():
         # fold every trace leaf into the output so XLA cannot DCE the
         # trace-extension writes (returning just log_ml_est made the
         # update-only mode measure an empty computation)
-        leaf_fold = sum(jnp.sum(l[:7].astype(jnp.float32))
+        leaf_fold = sum(jnp.sum(l.ravel()[:7].astype(jnp.float32))
                         for l in jax.tree_util.tree_leaves(state.traces)
-                        if l.size)
+                        if getattr(l, "size", 0))
         return state.log_ml_est, leaf_fold
 
     for mode in ("update", "resample", "rejuv", "real"):
@@ -114,8 +114,9 @@ def main():
     def fold(s):
         # anti-DCE: touch every trace leaf
         return s.log_weights[:3], sum(
-            jnp.sum(l[:7].astype(jnp.float32))
-            for l in jax.tree_util.tree_leaves(s.traces) if l.size)
+            jnp.sum(l.ravel()[:7].astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(s.traces)
+            if getattr(l, "size", 0))
 
     up = jax.jit(lambda k, s: fold(pf_update(
         k, s, (6, x0), (Extend(1), NoChange()), obs_at_t(y_obs, 5),

@@ -30,12 +30,33 @@ def test_counts_to_parents_properties():
                                      1.0 + 1e-5)
 
 
+def _F_parents(F_fn):
+    from genparticlefilters_tpu.smc.resample import _F_to_parents
+
+    def fn(k, w):
+        return _F_to_parents(F_fn(k, w), w.shape[0])
+    return fn
+
+
+def _mn_F(k, w):
+    from genparticlefilters_tpu.smc.resample import multinomial_F
+    return _F_parents(multinomial_F)(k, w)
+
+
+def _res_F(k, w):
+    from genparticlefilters_tpu.smc.resample import residual_F
+    return _F_parents(residual_F)(k, w)
+
+
 @pytest.mark.parametrize("parent_fn", [
     lambda k, w: multinomial_parents(k, w),
     lambda k, w: residual_parents(k, w),
     lambda k, w: stratified_parents(k, w),
     lambda k, w: systematic_parents(k, w),
-], ids=["multinomial", "residual", "stratified", "systematic"])
+    _mn_F,
+    _res_F,
+], ids=["multinomial", "residual", "stratified", "systematic",
+        "multinomial_F", "residual_F"])
 def test_resampling_unbiased_counts(parent_fn):
     """E[offspring counts] = n * w for every method."""
     n = 32
@@ -51,6 +72,18 @@ def test_resampling_unbiased_counts(parent_fn):
     stderr = np.sqrt(n * w * (1 - w) / reps) + 1e-3
     assert np.all(np.abs(avg - n * w) < 6 * stderr + 0.05), (
         np.abs(avg - n * w) / stderr)
+
+
+def test_residual_F_min_copies():
+    """residual_F preserves the ≥⌊n·w⌋ deterministic-copy guarantee
+    (ref: src/resample.jl:96-106) in clustered slot order."""
+    n = 64
+    for i in range(10):
+        w = jr.dirichlet(jr.fold_in(jr.key(9), i), jnp.ones(n) * 0.5)
+        p = np.asarray(_res_F(jr.fold_in(jr.key(10), i), w))
+        assert (np.diff(p) >= 0).all() and p.min() >= 0 and p.max() < n
+        counts = np.bincount(p, minlength=n)
+        assert (counts >= np.floor(n * np.asarray(w))).all()
 
 
 def test_lml_unbiasedness():
