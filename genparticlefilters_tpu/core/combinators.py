@@ -144,6 +144,16 @@ class Unfold(GenFn):
         params = tuple(args[2:])
         return t_active, state0, params
 
+    def active_mask(self, tr: Trace):
+        """Public [T] (or [*B, T]) bool mask of ACTIVE timesteps for a trace
+        of this Unfold. Retval/choice slots at inactive steps are
+        *unspecified* (structural zeros on the O(k) generate/extend paths,
+        last-state repeats on full-scan paths — the two interpreters differ,
+        so padded slots must never be read): mask any per-timestep read of
+        ``get_retval()`` / ``statistics.mean(fn=...)`` with this before
+        reducing over time. See docs/gfi.md "Unfold padding contract"."""
+        return self._active(tr.inner["t"], _outer_mask(tr))
+
     def _active(self, t_active, outer_mask):
         """Active-step mask; supports batched ``t_active`` of shape [*B]
         (e.g. a stacked particle axis), giving a [*B, T] mask."""

@@ -82,6 +82,18 @@ def apply_check(invalid, check):
       ``jax.errors.JaxRuntimeError`` when the computation executes (i.e. at
       dispatch/fetch time), restoring the reference's hard-stop contract
       inside jitted filters.
+
+      .. note:: the jitted raise is **best-effort**: exceptions from debug
+         callbacks are not a guaranteed error channel — delivery is
+         asynchronous and backend-dependent, the error surfaces at the next
+         host synchronization point (which may be far from the offending
+         op), and on asynchronously-dispatched TPU programs it can leave
+         the runtime poisoned. It is a fail-loud diagnostic, not a
+         recoverable control-flow signal: never ``except`` it to continue
+         the same computation. For a value-level error channel that is
+         guaranteed under jit, run the filter under
+         ``jax.experimental.checkify`` or branch on the ``invalid`` flag
+         returned by :func:`safe_softmax` yourself.
     - ``check="warn"``: report via debug callback when invalid.
     - ``check=False``: silent.
     """

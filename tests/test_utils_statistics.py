@@ -128,3 +128,20 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(g.batched_choice(state, "slope")),
         np.asarray(g.batched_choice(restored, "slope")))
+
+
+def test_checkpoint_incompatible_raises(tmp_path):
+    # a checkpoint restored onto a structure with a different particle
+    # count / horizon must raise a clear error, never load leaves into
+    # shifted slots
+    import pytest
+    from genparticlefilters_tpu.utils.checkpoint import (save_state,
+                                                         restore_state)
+    state = g.pf_initialize(jr.key(0), line_model, (3,), line_choicemap(3),
+                            32)
+    p = str(tmp_path / "ckpt")
+    save_state(p, state)
+    wrong_n = g.pf_initialize(jr.key(1), line_model, (3,), line_choicemap(3),
+                              16)
+    with pytest.raises(ValueError):
+        restore_state(p, wrong_n)
