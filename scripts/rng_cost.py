@@ -32,13 +32,13 @@ def bench(name, step_fn):
                           jr.split(key0, k))
         return acc
 
-    for k in (2, 22):
+    for k in (20, 520):
         _ = float(np.asarray(many(jr.key(0), k)))
     best = 1e9
     for _ in range(4):
-        t0 = time.time(); _ = float(np.asarray(many(jr.key(1), 2))); e1 = time.time() - t0
-        t0 = time.time(); _ = float(np.asarray(many(jr.key(1), 22))); e2 = time.time() - t0
-        best = min(best, (e2 - e1) / 20)
+        t0 = time.time(); _ = float(np.asarray(many(jr.key(1), 20))); e1 = time.time() - t0
+        t0 = time.time(); _ = float(np.asarray(many(jr.key(1), 520))); e2 = time.time() - t0
+        best = min(best, (e2 - e1) / 500)
     print(f"{name:34s}: {best*1e3:.3f} ms", flush=True)
 
 
