@@ -124,10 +124,18 @@ def vmap_gfi(fn, *batched, in_specs=None):
             for b in batched)
     else:
         in_specs = tuple(in_specs)
+
+    def per_particle(*xs):
+        # suspend any enclosing batched interpretation: inside this vmap
+        # the interpretation really is per-particle
+        from .gfi import batched_interpretation
+        with batched_interpretation(None):
+            return fn(*xs)
+
     avals = tuple(unbatch_avals(b, s) for b, s in zip(batched, in_specs))
-    out_shape = jax.eval_shape(fn, *avals)
+    out_shape = jax.eval_shape(per_particle, *avals)
     out_spec = axes_spec(out_shape)
-    return jax.vmap(fn, in_axes=in_specs, out_axes=out_spec)(*batched)
+    return jax.vmap(per_particle, in_axes=in_specs, out_axes=out_spec)(*batched)
 
 
 def _contains_trace(obj) -> bool:

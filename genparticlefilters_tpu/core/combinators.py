@@ -24,7 +24,8 @@ import jax.random as jr
 from jax import lax
 
 from .choicemap import ChoiceMap, Entry, Selection, EMPTY
-from .gfi import GenFn, Trace, UnknownChange
+from .gfi import (GenFn, Trace, UnknownChange, current_batch, _to_batch,
+                  batched_interpretation)
 
 __all__ = ["Unfold", "MapCombinator"]
 
@@ -93,6 +94,30 @@ def _tree_write_at(tree, t, values, T):
         lambda l, v: _onehot_write(l, t, v, T), tree, values)
 
 
+def _batch_state0(state0, b):
+    """Give every carried-state leaf a leading particle axis in batched
+    interpretation, so the scan carry has a fixed shape from step 0 (shared
+    initial states broadcast; leading-dim==b leaves pass through)."""
+    if b is None:
+        return state0
+    return jax.tree_util.tree_map(lambda l: _to_batch(l, b), state0)
+
+
+def _reduce_steps(vals, active, b):
+    """Σ over the time axis of per-step accumulators ``vals`` ([T] or
+    [T, b]) under the active mask ([T] or [T, b]); keeps the particle axis
+    in batched mode."""
+    if b is None:
+        return jnp.sum(jnp.where(active, vals, 0.0))
+    vals = jnp.asarray(vals)
+    a = jnp.asarray(active, bool)
+    if vals.ndim == 1:  # shared accumulator (no per-particle sites)
+        vals = vals[:, None]
+    if a.ndim == 1:
+        a = a[:, None]
+    return jnp.sum(jnp.where(a, vals, 0.0), axis=0)
+
+
 def _slim_steps(steps: Trace) -> Trace:
     """Drop per-step args/retval AND the per-step score from stacked step
     traces: args are reconstructed on every interpretation, carried states
@@ -134,6 +159,10 @@ class Unfold(GenFn):
         self.step = step
         self.T = int(max_steps)
 
+    @property
+    def batch_safe(self):
+        return self.step.batch_safe
+
     def __repr__(self):
         return f"Unfold({self.step!r}, T={self.T})"
 
@@ -153,6 +182,20 @@ class Unfold(GenFn):
         ``get_retval()`` / ``statistics.mean(fn=...)`` with this before
         reducing over time. See docs/gfi.md "Unfold padding contract"."""
         return self._active(tr.inner["t"], _outer_mask(tr))
+
+    def _active_tb(self, t_active, outer_mask, b):
+        """Interpreter-internal active mask in TIME-LEADING orientation:
+        [T], or [T, b] in batched interpretation with a per-particle
+        outer mask (``t_active`` is always a shared scalar here)."""
+        a = (jnp.arange(self.T, dtype=jnp.int32)
+             < jnp.asarray(t_active, jnp.int32))
+        if outer_mask is not True:
+            om = jnp.asarray(outer_mask, bool)
+            if b is not None and om.ndim >= 1:
+                a = jnp.logical_and(a[:, None], om[None, :])
+            else:
+                a = jnp.logical_and(a, om)
+        return a
 
     def _active(self, t_active, outer_mask):
         """Active-step mask; supports batched ``t_active`` of shape [*B]
@@ -276,6 +319,8 @@ class Unfold(GenFn):
     # -- GFI --------------------------------------------------------------
     def simulate(self, key, args):
         t_active, state0, params = self._split_args(args)
+        b = current_batch()
+        state0 = _batch_state0(state0, b)
         ts = jnp.arange(self.T, dtype=jnp.int32)
 
         def body(state, t):
@@ -288,8 +333,8 @@ class Unfold(GenFn):
             return new_state, (tr, new_state)
 
         _, (steps, states) = lax.scan(body, state0, ts)
-        active = self._active(t_active, True)
-        score = jnp.sum(jnp.where(active, steps.score, 0.0))
+        active = self._active_tb(t_active, True, b)
+        score = _reduce_steps(steps.score, active, b)
         inner = _inner(_slim_steps(steps), t_active)
         return Trace(self, args, states, score, inner)
 
@@ -318,6 +363,8 @@ class Unfold(GenFn):
                     key, tr0, args, constraints, k_static)
                 return new_tr, new_tr.score - logq
         dense = self._slice_cm(self._densify(constraints))
+        b = current_batch()
+        state0 = _batch_state0(state0, b)
         ts = jnp.arange(self.T, dtype=jnp.int32)
 
         def body(state, xs):
@@ -332,9 +379,9 @@ class Unfold(GenFn):
             return new_state, (tr, new_state, w)
 
         _, (steps, states, ws) = lax.scan(body, state0, (ts, dense))
-        active = self._active(t_active, True)
-        score = jnp.sum(jnp.where(active, steps.score, 0.0))
-        weight = jnp.sum(jnp.where(active, ws, 0.0))
+        active = self._active_tb(t_active, True, b)
+        score = _reduce_steps(steps.score, active, b)
+        weight = _reduce_steps(ws, active, b)
         inner = _inner(_slim_steps(steps), t_active)
         return Trace(self, args, states, score, inner), weight
 
@@ -360,6 +407,9 @@ class Unfold(GenFn):
                         f"assess: address {k2} missing at some active "
                         "timesteps")
 
+        b = current_batch()
+        state0 = _batch_state0(state0, b)
+
         def body(state, xs):
             t, step_c = xs
             # assess per-step: all sites constrained by the dense arrays
@@ -370,8 +420,8 @@ class Unfold(GenFn):
             return new_state, (new_state, s)
 
         _, (states, ss) = lax.scan(body, state0, (ts, dense))
-        active = self._active(t_active, True)
-        score = jnp.sum(jnp.where(active, ss, 0.0))
+        active = self._active_tb(t_active, True, b)
+        score = _reduce_steps(ss, active, b)
         return states, score
 
     def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap,
@@ -393,6 +443,8 @@ class Unfold(GenFn):
         outer_mask = _outer_mask(tr)
         old_steps = tr.inner["steps"]
         dense = self._slice_cm(self._densify(constraints))
+        b = current_batch()
+        state0 = _batch_state0(state0, b)
         ts = jnp.arange(self.T, dtype=jnp.int32)
 
         def body(state, xs):
@@ -410,10 +462,12 @@ class Unfold(GenFn):
 
         _, (steps, states, logqs, disc) = lax.scan(
             body, state0, (ts, old_steps, dense))
-        a_new = self._active(t_new, True)
-        a_old = self._active(t_old, outer_mask)
-        score = jnp.sum(jnp.where(a_new, steps.score, 0.0))
-        logq = jnp.sum(jnp.where(a_new, logqs, 0.0))
+        a_new = self._active_tb(t_new, True, b)
+        a_old = self._active_tb(t_old, outer_mask, b)
+        if b is not None and jnp.ndim(a_old) > jnp.ndim(a_new):
+            a_new = jnp.broadcast_to(a_new[:, None], a_old.shape)
+        score = _reduce_steps(steps.score, a_new, b)
+        logq = _reduce_steps(logqs, a_new, b)
         # discard entries: per-step stacked (masks already include the
         # constraint∧old masks); mask them with new-activity, and add choices
         # of steps deactivated by shrinking t (spec: Gen update discard
@@ -835,6 +889,17 @@ class Unfold(GenFn):
         inner = _inner(tr.inner["steps"], tr.inner["t"], new_om)
         return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
 
+    def batch_stored_args(self, tr: Trace, batch: int) -> Trace:
+        """Batched sub-call storage: state0/params leaves get the particle
+        axis; the lockstep active length (args[0]) STAYS shared (its spec is
+        ``None`` — see :meth:`trace_axes`)."""
+        from .gfi import _batch_tree
+        if not tr.args:
+            return tr
+        args = (tr.args[0],) + tuple(_batch_tree(a, batch)
+                                     for a in tr.args[1:])
+        return Trace(self, args, tr.retval, tr.score, tr.inner)
+
     def trace_axes(self, tr: Trace, axis: int = 0, args_shared: bool = False):
         """Time-major batched layout: stacked step and retval leaves hold the
         particle axis AFTER the time axis (position ``axis+1``); the active
@@ -896,6 +961,10 @@ class MapCombinator(GenFn):
         self.kernel = kernel
         self.n = int(n)
 
+    @property
+    def batch_safe(self):
+        return self.kernel.batch_safe
+
     def _vargs(self, args):
         in_axes = []
         vargs = []
@@ -910,73 +979,116 @@ class MapCombinator(GenFn):
                 vargs.append(arr)
         return tuple(vargs), tuple(in_axes)
 
+    @staticmethod
+    def _sax():
+        """Plate-axis position in stored step leaves: 0 per-particle, 1 in
+        batched interpretation (particle axis leads; the plate-vmap runs
+        OVER the plate with each element interpreted batched, so plate
+        stacking lands at 1, keeping the particle-major layout
+        ``trace_axes`` promises)."""
+        return 0 if current_batch() is None else 1
+
+    @staticmethod
+    def _psum(x, sax):
+        """Σ over the plate axis, keeping the particle axis when batched."""
+        return jnp.sum(x) if sax == 0 else jnp.sum(x, axis=sax)
+
+    def _store(self, tr):
+        """Per-element stored-args layout fix under batched interpretation
+        (see GenFn.batch_stored_args)."""
+        b = current_batch()
+        return tr if b is None else self.kernel.batch_stored_args(tr, b)
+
     def simulate(self, key, args):
         vargs, axes = self._vargs(args)
+        sax = self._sax()
         keys = jr.split(key, self.n)
         steps = jax.vmap(
-            lambda k, *a: self.kernel.simulate(k, a),
-            in_axes=(0,) + axes)(keys, *vargs)
-        score = jnp.sum(steps.score)
+            lambda k, *a: self._store(self.kernel.simulate(k, a)),
+            in_axes=(0,) + axes, out_axes=sax)(keys, *vargs)
+        score = self._psum(steps.score, sax)
         return Trace(self, args, steps.retval, score, {"steps": steps})
 
     def generate(self, key, args, constraints: ChoiceMap = EMPTY):
         vargs, axes = self._vargs(args)
+        sax = self._sax()
         keys = jr.split(key, self.n)
+
+        def one(k, c, *a):
+            tr, w = self.kernel.generate(k, a, c)
+            return self._store(tr), w
+
         # constraints: dense entries with [n] leading axis
         steps, ws = jax.vmap(
-            lambda k, c, *a: self.kernel.generate(k, a, c),
-            in_axes=(0, 0) + axes)(keys, constraints, *vargs)
-        score = jnp.sum(steps.score)
+            one, in_axes=(0, 0) + axes, out_axes=sax)(keys, constraints,
+                                                      *vargs)
+        score = self._psum(steps.score, sax)
         return (Trace(self, args, steps.retval, score, {"steps": steps}),
-                jnp.sum(ws))
+                self._psum(ws, sax))
 
     def assess(self, args, choices: ChoiceMap):
         vargs, axes = self._vargs(args)
+        sax = self._sax()
         retvals, ss = jax.vmap(
             lambda c, *a: self.kernel.assess(a, c),
-            in_axes=(0,) + axes)(choices, *vargs)
-        return retvals, jnp.sum(ss)
+            in_axes=(0,) + axes, out_axes=sax)(choices, *vargs)
+        return retvals, self._psum(ss, sax)
 
     def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap,
                 argdiffs=None):
         vargs, axes = self._vargs(new_args)
+        sax = self._sax()
         keys = jr.split(key, self.n)
+
+        def one(k, o, c, *a):
+            s, lq, d = self.kernel._update(k, o, a, c)
+            return self._store(s), lq, d
+
         steps, logqs, disc = jax.vmap(
-            lambda k, o, c, *a: self.kernel._update(k, o, a, c),
-            in_axes=(0, 0, 0) + axes)(keys, tr.inner["steps"], constraints,
-                                      *vargs)
-        score = jnp.sum(steps.score)
+            one, in_axes=(0, sax, 0) + axes, out_axes=sax)(
+                keys, tr.inner["steps"], constraints, *vargs)
+        score = self._psum(steps.score, sax)
         return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
-                jnp.sum(logqs), disc)
+                self._psum(logqs, sax), disc)
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
                     window=None, old_args=None, need_sel_old=True):
         vargs, axes = self._vargs(new_args)
+        sax = self._sax()
         keys = jr.split(key, self.n)
         if old_args is not None:
             ovargs, oaxes = self._vargs(old_args)
-            steps, sns, sos = jax.vmap(
-                lambda k, o, a, oa: self.kernel._regenerate(
+
+            def one(k, o, a, oa):
+                s, sn, so = self.kernel._regenerate(
                     k, o, a, selection, old_args=oa,
-                    need_sel_old=need_sel_old),
-                in_axes=(0, 0, axes, oaxes))(keys, tr.inner["steps"], vargs,
-                                             ovargs)
-        else:
+                    need_sel_old=need_sel_old)
+                return self._store(s), sn, so
+
             steps, sns, sos = jax.vmap(
-                lambda k, o, *a: self.kernel._regenerate(
-                    k, o, a, selection, need_sel_old=need_sel_old),
-                in_axes=(0, 0) + axes)(keys, tr.inner["steps"], *vargs)
-        score = jnp.sum(steps.score)
+                one, in_axes=(0, sax, axes, oaxes), out_axes=sax)(
+                    keys, tr.inner["steps"], vargs, ovargs)
+        else:
+            def one(k, o, *a):
+                s, sn, so = self.kernel._regenerate(
+                    k, o, a, selection, need_sel_old=need_sel_old)
+                return self._store(s), sn, so
+
+            steps, sns, sos = jax.vmap(
+                one, in_axes=(0, sax) + axes, out_axes=sax)(
+                    keys, tr.inner["steps"], *vargs)
+        score = self._psum(steps.score, sax)
         return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
-                jnp.sum(sns), jnp.sum(sos))
+                self._psum(sns, sax), self._psum(sos, sax))
 
     def _sel_logp(self, tr: Trace, args, selection: Selection, window=None):
         vargs, axes = self._vargs(args)
+        sax = self._sax()
         retvals, sos, scs = jax.vmap(
             lambda o, *a: self.kernel._sel_logp(o, a, selection,
                                                 window=window),
-            in_axes=(0,) + axes)(tr.inner["steps"], *vargs)
-        return retvals, jnp.sum(sos), jnp.sum(scs)
+            in_axes=(sax,) + axes, out_axes=sax)(tr.inner["steps"], *vargs)
+        return retvals, self._psum(sos, sax), self._psum(scs, sax)
 
     def trace_choices(self, tr: Trace) -> ChoiceMap:
         return self.kernel.trace_choices(tr.inner["steps"])

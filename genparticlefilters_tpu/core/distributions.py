@@ -57,6 +57,29 @@ class Distribution:
     def sample(self, key: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    def sample_batched(self, key: jax.Array, b: int) -> jax.Array:
+        """Draw with a leading particle axis of size ``b`` from ONE key —
+        one counter-mode PRNG pass, instead of ``b`` per-particle key
+        chains under vmap (see ``core.gfi.batched_interpretation``).
+
+        Convention: params whose leading dim equals ``b`` already carry
+        the particle axis (the common case: params computed from batched
+        upstream state). Scalar-batch-shape params are broadcast to
+        ``(b,) + shape`` — valid for every distribution here because
+        ``sample`` derives its draw shape from the broadcast parameter
+        shapes. Anything else falls back to a vmap of scalar draws
+        (correct, slower)."""
+        bs = tuple(self.batch_shape())
+        if len(bs) >= 1 and bs[0] == b:
+            return self.sample(key)
+        if bs == ():
+            bd = jax.tree_util.tree_map(
+                lambda p: jnp.broadcast_to(jnp.asarray(p),
+                                           (b,) + jnp.shape(p)), self)
+            return bd.sample(key)
+        import jax.random as _jr
+        return jax.vmap(self.sample)(_jr.split(key, b))
+
     def log_prob(self, value: jax.Array) -> jax.Array:
         """Elementwise log density; reduced over event dims only."""
         raise NotImplementedError
@@ -192,7 +215,12 @@ class LabeledCategorical(Distribution):
 
     def sample(self, key):
         idx = jr.categorical(key, jnp.log(_f(self.probs)), axis=-1)
-        return jnp.asarray(self.labels)[idx]
+        labels = jnp.asarray(self.labels)
+        if labels.ndim == jnp.ndim(self.probs) and labels.ndim > 1:
+            # batched labels rows (e.g. broadcast by sample_batched)
+            return jnp.take_along_axis(labels, idx[..., None],
+                                       axis=-1)[..., 0]
+        return labels[idx]
 
     def log_prob(self, value):
         labels = jnp.asarray(self.labels)

@@ -141,6 +141,17 @@ class Trace:
 class GenFn:
     """Base class for generative functions."""
 
+    #: opt-in marker for BATCHED interpretation (see
+    #: ``batched_interpretation``): set True only when the body is
+    #: *batch-polymorphic* — every array it manipulates may silently carry a
+    #: leading particle axis, so positional indexing like ``x[idx]`` (which
+    #: would gather the particle axis) must be written as
+    #: ``jnp.take_along_axis`` / elementwise ops. Unmarked functions always
+    #: run per-particle under vmap (slower: ~0.1 ms/step of per-particle
+    #: PRNG key chains at N=100K, scripts/rng_cost.py — but safe for any
+    #: body). Combinators delegate to their inner function.
+    batch_safe: bool = False
+
     # -- public GFI -------------------------------------------------------
     def simulate(self, key, args) -> Trace:
         raise NotImplementedError
@@ -238,6 +249,13 @@ class GenFn:
         """AND every choice's presence mask with ``m`` (traced bool ok)."""
         raise NotImplementedError
 
+    def batch_stored_args(self, tr: Trace, batch: int) -> Trace:
+        """Broadcast this trace's STORED args to the per-particle layout
+        ``trace_axes`` promises at sub-call positions (batched
+        interpretation only; see ``_Handler.record_sub``)."""
+        return Trace(self, _batch_tree(tr.args, batch), tr.retval,
+                     tr.score, tr.inner)
+
     # -- batching layout (see core/batching.py) ----------------------------
     def trace_axes(self, tr: Trace, axis: int = 0, args_shared: bool = False):
         """Particle-axis spec pytree for this trace when stacked across
@@ -307,6 +325,82 @@ def select_batched(accept, new, old):
 # ---------------------------------------------------------------------------
 
 _HANDLER_STACK = []
+_BATCH_STACK: list = []
+
+
+class batched_interpretation:
+    """Context manager: run GFI interpreters in BATCHED mode over ``batch``
+    particles — ONE interpretation with [batch]-leading site values, instead
+    of ``vmap``-ing ``batch`` scalar interpretations over ``batch`` keys.
+
+    Why this exists: under vmap, every particle pays a full counter-mode
+    PRNG pass (~100 int-ops) per ``fold_in`` in its key chain — one per
+    site plus per-step fold-ins — measured ~0.1 ms/step of pure key
+    arithmetic at N=100K on v5e (scripts/rng_cost.py). Batched, site keys
+    are SCALAR fold-ins and each site draws its [batch] values in one
+    counter-mode pass; the handler accumulators (score/weight/logq/sel_*)
+    become per-particle [batch] vectors. The produced trace pytrees are
+    layout-identical to the vmapped path (time-major stacked leaves,
+    per-particle scores), so both paths interoperate freely — only the
+    sampled randomness differs.
+
+    Batchedness convention: a value or distribution parameter is treated
+    as already carrying the particle axis iff its leading dim equals
+    ``batch``; anything else is broadcast/shared. A genuinely unbatched
+    array whose leading dim coincidentally equals the particle count is
+    indistinguishable — avoid such shapes in batched models (or pick a
+    different particle count).
+
+    ``batched_interpretation(None)`` *suspends* an enclosing batched
+    region (used by ``vmap_gfi``/``MapCombinator``, whose inner
+    interpretations really are per-element).
+    """
+
+    def __init__(self, batch):
+        self.batch = None if batch is None else int(batch)
+
+    def __enter__(self):
+        _BATCH_STACK.append(self.batch)
+        return self.batch
+
+    def __exit__(self, *exc):
+        _BATCH_STACK.pop()
+        return False
+
+
+def current_batch():
+    """The active batched-interpretation size, or None (per-particle)."""
+    return _BATCH_STACK[-1] if _BATCH_STACK else None
+
+
+def _bsum(x, batch):
+    """Reduce a site log-prob into a handler accumulator: Σ over event dims
+    keeping the leading particle axis in batched mode; shared (unbatched)
+    values reduce to a scalar, which broadcasts into the [batch]
+    accumulator."""
+    x = jnp.asarray(x)
+    if batch is not None and x.ndim >= 1 and x.shape[0] == batch:
+        return x if x.ndim == 1 else jnp.sum(x.reshape(batch, -1), axis=1)
+    return jnp.sum(x)
+
+
+def _to_batch(v, batch):
+    """Give ``v`` a leading particle axis in batched mode (shared values
+    broadcast; leading-dim==batch values pass through)."""
+    v = jnp.asarray(v)
+    if batch is None or (v.ndim >= 1 and v.shape[0] == batch):
+        return v
+    return jnp.broadcast_to(v, (batch,) + v.shape)
+
+
+def _batch_tree(x, batch):
+    """:func:`_to_batch` over a container, leaving nested traces alone
+    (their leaves already follow their own batched layout)."""
+    if batch is None:
+        return x
+    return jax.tree_util.tree_map(
+        lambda l: l if isinstance(l, Trace) else _to_batch(l, batch),
+        x, is_leaf=lambda l: isinstance(l, Trace))
 
 
 def trace(addr, dist_or_gf, args=None):
@@ -336,14 +430,18 @@ def _scope_path(cm_or_sel, path):
     return out
 
 
-def _masked_sum(lp, m):
-    """Σ lp over set mask bits; NaN/Inf-safe (masked slots contribute 0)."""
+def _masked_sum(lp, m, batch=None):
+    """Σ lp over set mask bits; NaN/Inf-safe (masked slots contribute 0).
+    In batched mode the leading particle axis survives (see :func:`_bsum`)."""
     if m is True:
-        return jnp.sum(lp)
+        return _bsum(lp, batch)
     if m is False:
         return jnp.asarray(0.0, dtype=jnp.float32)
-    mb = jnp.broadcast_to(jnp.asarray(m, bool), jnp.shape(lp)) if jnp.ndim(lp) else jnp.asarray(m, bool)
-    return jnp.sum(jnp.where(mb, lp, 0.0))
+    lp = jnp.asarray(lp)
+    mb = jnp.asarray(m, bool)
+    shp = jnp.broadcast_shapes(lp.shape, mb.shape)
+    return _bsum(jnp.where(jnp.broadcast_to(mb, shp),
+                           jnp.broadcast_to(lp, shp), 0.0), batch)
 
 
 def _broadcast_val(value, like):
@@ -382,14 +480,24 @@ def _not_mask(m):
 
 
 class _Handler:
-    """Shared accumulator state for all interpreters of the dynamic DSL."""
+    """Shared accumulator state for all interpreters of the dynamic DSL.
+
+    In batched mode (:class:`batched_interpretation`) every accumulator is
+    a per-particle [batch] vector and :meth:`sample_site` draws [batch]
+    values from ONE scalar site key."""
 
     def __init__(self, key):
         self.key = key
         self._ctr = 0
+        self.batch = current_batch()
         self.sites: Dict[str, Entry] = {}
         self.subs: Dict[str, Trace] = {}
-        self.score = jnp.asarray(0.0, jnp.float32)
+        self.score = self._zero()
+
+    def _zero(self):
+        if self.batch is None:
+            return jnp.asarray(0.0, jnp.float32)
+        return jnp.zeros((self.batch,), jnp.float32)
 
     def fresh_key(self):
         self._ctr += 1
@@ -398,17 +506,28 @@ class _Handler:
                                "required sampling but no key was provided")
         return jr.fold_in(self.key, self._ctr)
 
+    def sample_site(self, dist):
+        key = self.fresh_key()
+        if self.batch is None:
+            return dist.sample(key)
+        return dist.sample_batched(key, self.batch)
+
     def record(self, addr, value, lp):
         if addr in self.sites or addr in self.subs:
             raise ValueError(f"duplicate address {addr!r} in @gen function")
         self.sites[addr] = Entry(value, True)
-        self.score = self.score + jnp.sum(lp)
+        self.score = self.score + _bsum(lp, self.batch)
 
     def record_sub(self, addr, sub_tr):
         if addr in self.sites or addr in self.subs:
             raise ValueError(f"duplicate address {addr!r} in @gen function")
+        if self.batch is not None:
+            # sub-call stored args sit at per-particle spec positions
+            # (GenFn.trace_axes); give shared leaves the particle axis the
+            # layout contract expects (Unfold keeps its lockstep t shared)
+            sub_tr = sub_tr.gen_fn.batch_stored_args(sub_tr, self.batch)
         self.subs[addr] = sub_tr
-        self.score = self.score + sub_tr.score
+        self.score = self.score + _bsum(sub_tr.score, self.batch)
 
     def inner(self):
         return {"sites": self.sites, "subs": self.subs}
@@ -416,7 +535,7 @@ class _Handler:
 
 class _SimulateHandler(_Handler):
     def dist_site(self, addr, dist):
-        v = dist.sample(self.fresh_key())
+        v = self.sample_site(dist)
         self.record(addr, v, dist.log_prob(v))
         return v
 
@@ -430,26 +549,26 @@ class _GenerateHandler(_Handler):
     def __init__(self, key, constraints: ChoiceMap):
         super().__init__(key)
         self.constraints = constraints
-        self.weight = jnp.asarray(0.0, jnp.float32)
+        self.weight = self._zero()
 
     def dist_site(self, addr, dist):
         e = self.constraints.resolve(addr)
         if e is None:
-            v = dist.sample(self.fresh_key())
+            v = self.sample_site(dist)
             self.record(addr, v, dist.log_prob(v))
             return v
         if e.mask is True:
             self.fresh_key()  # keep the per-site key stream stable
-            v = jnp.asarray(e.value)
+            v = _to_batch(e.value, self.batch)
             lp = dist.log_prob(v)
-            self.weight = self.weight + jnp.sum(lp)
+            self.weight = self.weight + _bsum(lp, self.batch)
             self.record(addr, v, lp)
             return v
-        sampled = dist.sample(self.fresh_key())
+        sampled = self.sample_site(dist)
         m = _mask_to(e.mask, jnp.shape(sampled))
         v = jnp.where(m, _broadcast_val(e.value, sampled), sampled)
         lp = dist.log_prob(v)
-        self.weight = self.weight + _masked_sum(lp, m)
+        self.weight = self.weight + _masked_sum(lp, m, self.batch)
         self.record(addr, v, lp)
         return v
 
@@ -470,7 +589,7 @@ class _AssessHandler(_Handler):
         e = self.choices.resolve(addr)
         if e is None:
             raise ValueError(f"assess: missing choice at address {addr!r}")
-        v = jnp.asarray(e.value)
+        v = _to_batch(e.value, self.batch)
         self.record(addr, v, dist.log_prob(v))
         return v
 
@@ -490,13 +609,13 @@ class _UpdateHandler(_Handler):
         self.old_sites = old_inner["sites"]
         self.old_subs = old_inner["subs"]
         self.constraints = constraints
-        self.logq = jnp.asarray(0.0, jnp.float32)
+        self.logq = self._zero()
         self.discard: Dict[Tuple, Entry] = {}
 
     def dist_site(self, addr, dist):
         e = self.constraints.resolve(addr)
         old = self.old_sites.get(addr)
-        sampled = dist.sample(self.fresh_key())
+        sampled = self.sample_site(dist)
         shape = jnp.shape(sampled)
 
         mc = False if e is None else _mask_to(e.mask, shape)
@@ -514,7 +633,7 @@ class _UpdateHandler(_Handler):
         lp = dist.log_prob(v)
         fresh = _and_masks(_not_mask(mc), _not_mask(mo))
         if fresh is not False:
-            self.logq = self.logq + _masked_sum(lp, fresh)
+            self.logq = self.logq + _masked_sum(lp, fresh, self.batch)
         overwritten = _and_masks(mc, mo)
         if overwritten is not False and old is not None:
             self.discard[addr] = Entry(old.value, overwritten)
@@ -558,18 +677,18 @@ class _RegenerateHandler(_Handler):
         self.old_sites = old_inner["sites"]
         self.old_subs = old_inner["subs"]
         self.selection = selection
-        self.sel_new = jnp.asarray(0.0, jnp.float32)
+        self.sel_new = self._zero()
 
     def dist_site(self, addr, dist):
         old = self.old_sites.get(addr)
         sel = _scope_path(self.selection, addr).mask_at_leaf()
-        sampled = dist.sample(self.fresh_key())
+        sampled = self.sample_site(dist)
         shape = jnp.shape(sampled)
         if old is None:
             # structurally new site: treat as fresh (counts in both new score
             # and sel_new, canceling in the weight)
             lp = dist.log_prob(sampled)
-            self.sel_new = self.sel_new + jnp.sum(lp)
+            self.sel_new = self.sel_new + _bsum(lp, self.batch)
             self.record(addr, sampled, lp)
             return sampled
         mo = _mask_to(old.mask, shape)
@@ -585,7 +704,8 @@ class _RegenerateHandler(_Handler):
             v = jnp.where(resample, sampled, ov)
         lp = dist.log_prob(v)
         if resample is not False:
-            self.sel_new = self.sel_new + _masked_sum(lp, resample)
+            self.sel_new = self.sel_new + _masked_sum(lp, resample,
+                                                      self.batch)
         self.record(addr, v, lp)
         return v
 
@@ -623,7 +743,7 @@ class _SelLogpHandler(_Handler):
         self.old_sites = old_inner["sites"]
         self.old_subs = old_inner["subs"]
         self.selection = selection
-        self.sel_old = jnp.asarray(0.0, jnp.float32)
+        self.sel_old = self._zero()
 
     def dist_site(self, addr, dist):
         old = self.old_sites.get(addr)
@@ -632,17 +752,19 @@ class _SelLogpHandler(_Handler):
             # nothing to the old score or sel_old — mirror
             # _RegenerateHandler's fresh-sample branch with a deterministic
             # dummy value so the body can keep executing
+            if self.batch is not None:
+                return dist.sample_batched(jr.key(0), self.batch)
             return dist.sample(jr.key(0))
-        v = jnp.asarray(old.value)
+        v = _to_batch(old.value, self.batch)
         mo = _mask_to(old.mask, jnp.shape(v))
         if mo is False:
             return v
         lp = dist.log_prob(v)
-        self.score = self.score + _masked_sum(lp, mo)
+        self.score = self.score + _masked_sum(lp, mo, self.batch)
         sel = _scope_path(self.selection, addr).mask_at_leaf()
         m = _and_masks(_mask_to(sel, jnp.shape(v)), mo)
         if m is not False:
-            self.sel_old = self.sel_old + _masked_sum(lp, m)
+            self.sel_old = self.sel_old + _masked_sum(lp, m, self.batch)
         return v
 
     def call_site(self, addr, gf, args):

@@ -39,6 +39,7 @@ def make_lgssm(t_max: int, p: LGParams) -> Unfold:
         trace("y", normal(p.c * x, p.r))
         return x
 
+    lg_step.batch_safe = True
     return Unfold(lg_step, t_max)
 
 

@@ -42,6 +42,7 @@ def make_object_motion(t_max: int) -> Unfold:
         trace("y_obs", normal(y, 0.25))
         return (y, moving)
 
+    motion_step.batch_safe = True
     return Unfold(motion_step, t_max)
 
 

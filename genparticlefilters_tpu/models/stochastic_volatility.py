@@ -38,6 +38,7 @@ def make_sv_model(t_max: int, p: SVParams) -> Unfold:
         trace("y", normal(0.0, jnp.exp(h / 2.0)))
         return h
 
+    sv_step.batch_safe = True
     return Unfold(sv_step, t_max)
 
 

@@ -47,6 +47,7 @@ def make_tempered_model():
         trace("lik", factor(beta * tempered_loglik(x)))
         return x
 
+    model.batch_safe = True
     return model
 
 

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
-from ..core.batching import vmap_gfi
 from ..core.choicemap import ChoiceMap, EMPTY
 from ..core.gfi import GenFn
 from ..utils.stratification import (stratum_assignment, stack_strata,
@@ -51,6 +50,33 @@ def pf_initialize(key, model: GenFn, model_args, observations: ChoiceMap,
         per_particle = None
         log_nk = 0.0
 
+    p_args = tuple(proposal_args) if proposal_args is not None else ()
+
+    if getattr(model, "batch_safe", False) and (
+            proposal is None or getattr(proposal, "batch_safe", False)):
+        # ONE batched interpretation over the particle axis: scalar site
+        # keys, [N]-shaped draws in one counter-mode PRNG pass per site —
+        # the vmapped per-particle key chains cost ~0.1 ms/step of pure key
+        # arithmetic at N=100K (scripts/rng_cost.py). Opt-in: see
+        # GenFn.batch_safe.
+        from ..core.gfi import batched_interpretation
+        with batched_interpretation(n_particles):
+            if proposal is None:
+                constraints = (observations if per_particle is None
+                               else per_particle.merge(observations))
+                traces, ws = model.generate(key, model_args, constraints)
+            else:
+                k1, k2 = jr.split(key)
+                prop_choices, prop_w, _ = proposal.propose(k1, p_args)
+                base = (observations if per_particle is None
+                        else per_particle.merge(observations))
+                constraints = base.merge(prop_choices)
+                traces, model_w = model.generate(k2, model_args, constraints)
+                ws = model_w - prop_w
+        return pf_state(traces, ws + log_nk)
+
+    # per-particle fallback (any model body): vmap over split keys
+    from ..core.batching import vmap_gfi
     keys = jr.split(key, n_particles)
 
     if proposal is None:
@@ -66,7 +92,6 @@ def pf_initialize(key, model: GenFn, model_args, observations: ChoiceMap,
                 return tr, w
             traces, ws = vmap_gfi(one, keys, per_particle)
     else:
-        p_args = tuple(proposal_args) if proposal_args is not None else ()
         if per_particle is None:
             def one(k):
                 k1, k2 = jr.split(k)

@@ -90,9 +90,8 @@ def pf_update(key, state, new_args=None, argdiffs=None,
     else:
         per_particle, log_nk = None, 0.0
 
-    keys = jr.split(key, n)
-
     if translator is not None:
+        keys = jr.split(key, n)
         tkw = dict(translator_kwargs or {})
         if check is not None:
             tkw["check"] = check
@@ -118,6 +117,21 @@ def pf_update(key, state, new_args=None, argdiffs=None,
         raise ValueError("pf_update requires new_args (or a translator)")
     do_check = True if check is None else check
 
+    if getattr(traces.gen_fn, "batch_safe", False):
+        # ONE batched interpretation over the particle axis — the stacked
+        # trace pytree is layout-identical either way, but site keys become
+        # scalar fold-ins and each site draws its [N] values in one
+        # counter-mode PRNG pass (opt-in: see GenFn.batch_safe)
+        from ..core.gfi import batched_interpretation
+        with batched_interpretation(n):
+            constraints = (observations if per_particle is None
+                           else per_particle.merge(observations))
+            new_traces, ws, _, discards = traces.gen_fn.update(
+                key, traces, new_args, argdiffs, constraints)
+        _check_no_discard(discards, do_check)
+        return scatter(new_traces, log_weights + ws + log_nk)
+
+    keys = jr.split(key, n)
     if per_particle is None:
         def one(k, tr):
             new_tr, w, _, discard = tr.gen_fn.update(

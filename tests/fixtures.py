@@ -24,6 +24,7 @@ def line_step(t, x, slope):
     return x
 
 
+line_step.batch_safe = True  # body is batch-polymorphic (elementwise only)
 line_unfold = g.Unfold(line_step, T_MAX)
 
 
@@ -33,6 +34,9 @@ def line_model(n):
     g.trace("line", line_unfold, (n, jnp.asarray(0.0, jnp.float32),
                                   slope.astype(jnp.float32)))
     return slope
+
+
+line_model.batch_safe = True
 
 
 def slope_choicemap(slope):

@@ -104,3 +104,44 @@ def test_initialize_dynamic_flag_accepted():
     state = g.pf_initialize(jr.key(0), line_model, (0,), g.choicemap(), 10,
                             dynamic=True)
     assert state.n_particles == 10
+
+
+def test_batched_vs_vmapped_interpretation():
+    """The opt-in batched interpretation (GenFn.batch_safe) must produce a
+    trace pytree STRUCTURALLY identical to the per-particle vmapped path
+    (same treedef, same leaf shapes/dtypes) and statistically equivalent
+    weights/posteriors."""
+    import copy
+    import jax
+
+    assert getattr(line_model, "batch_safe", False)
+    st_b = g.pf_initialize(jr.key(0), line_model, (5,), line_choicemap(5),
+                           400)
+
+    # force the vmapped fallback for the same model
+    unmarked = copy.copy(line_model)
+    unmarked.batch_safe = False
+    st_v = g.pf_initialize(jr.key(0), unmarked, (5,), line_choicemap(5), 400)
+
+    lb, tb = jax.tree_util.tree_flatten(st_b)
+    lv, tv = jax.tree_util.tree_flatten(st_v)
+    # treedefs differ only by the copied gen_fn identity in the static aux;
+    # leaf count + per-leaf shapes/dtypes pin the structural contract
+    assert len(lb) == len(lv)
+    for a, b in zip(lb, lv):
+        assert jnp.shape(a) == jnp.shape(b), (jnp.shape(a), jnp.shape(b))
+        assert getattr(a, "dtype", None) == getattr(b, "dtype", None)
+
+    # same model, same constraints: weights must agree in distribution —
+    # with y fully constrained the weight is logpdf(slope)+Σ logpdf terms,
+    # and the slope posterior must match across paths
+    for addr in ["slope"]:
+        pb = {k: v for k, v in g.proportionmap(st_b, addr).items()}
+        pv = {k: v for k, v in g.proportionmap(st_v, addr).items()}
+        for k in set(pb) | set(pv):
+            assert abs(pb.get(k, 0.0) - pv.get(k, 0.0)) < 0.15, (k, pb, pv)
+
+    # batched update composes with vmapped-produced states and vice versa
+    st2 = g.pf_update(jr.key(1), st_b, (6,), (g.Extend(1),),
+                      line_choicemap(6), check=False)
+    assert st2.n_particles == 400
