@@ -572,6 +572,8 @@ class Unfold(GenFn):
             return self._regenerate_window(key, tr, new_args, selection,
                                            int(window))
         t_new, state0, params = self._split_args(new_args)
+        b = current_batch()
+        state0 = _batch_state0(state0, b)
         t_old = tr.inner["t"]
         outer_mask = _outer_mask(tr)
         old_steps = tr.inner["steps"]
@@ -602,10 +604,10 @@ class Unfold(GenFn):
         xs = ((ts, old_steps, old_prev) if sel_static
               else (ts, old_steps, old_prev, dsel))
         _, (steps, states, sns, sos) = lax.scan(body, state0, xs)
-        a_new = self._active(t_new, True)
-        score = jnp.sum(jnp.where(a_new, steps.score, 0.0))
-        sel_new = jnp.sum(jnp.where(a_new, sns, 0.0))
-        sel_old = jnp.sum(jnp.where(a_new, sos, 0.0))
+        a_new = self._active_tb(t_new, True, b)
+        score = _reduce_steps(steps.score, a_new, b)
+        sel_new = _reduce_steps(sns, a_new, b)
+        sel_old = _reduce_steps(sos, a_new, b)
         inner = _inner(_slim_steps(steps), t_new)
         return Trace(self, new_args, states, score, inner), sel_new, sel_old
 
@@ -695,15 +697,19 @@ class Unfold(GenFn):
         cols = delta["cols"]
         t_old = delta["t_old"]
 
+        from .gfi import _where_lead
+
         def write_cols(old_leaf, col_vals):
             # per window step: one O(N) row read + accept-masked select +
             # one O(N) row write (the time-major layout makes a dynamic
-            # step row a contiguous lane-dense slice)
+            # step row a contiguous lane-dense slice); accept may be a
+            # per-particle [b] mask (batched interpretation), lead-aligned
             out = old_leaf
             for (t_c, active_j, _, _), v in zip(cols, col_vals):
                 take = jnp.logical_and(accept, active_j)
                 old_row = _onehot_read(out, t_c, self.T)
-                new_row = jnp.where(take, jnp.asarray(v, out.dtype), old_row)
+                new_row = _where_lead(take, jnp.asarray(v, out.dtype),
+                                      old_row)
                 out = _onehot_write(out, t_c, new_row, self.T)
             return out
 
@@ -719,8 +725,8 @@ class Unfold(GenFn):
             out = write_cols(old_leaf, vs)
             # carry row: last row = state at t_old-1 (rows in (t_old-1, T-1)
             # are unspecified, so only the invariant row needs refreshing)
-            new_last = jnp.where(accept, jnp.asarray(last_v, out.dtype),
-                                 out[-1])
+            new_last = _where_lead(accept, jnp.asarray(last_v, out.dtype),
+                                   out[-1])
             return out.at[-1].set(new_last)
 
         retvals = jax.tree_util.tree_map(
@@ -810,6 +816,8 @@ class Unfold(GenFn):
         if window is not None and _outer_mask(tr) is True:
             return self._sel_logp_window(tr, args, selection, int(window))
         _, state0, params = self._split_args(args)
+        b = current_batch()
+        state0 = _batch_state0(state0, b)
         t_old = tr.inner["t"]
         outer_mask = _outer_mask(tr)
         old_steps = tr.inner["steps"]
@@ -833,6 +841,8 @@ class Unfold(GenFn):
 
         xs = (ts, old_steps) if sel_static else (ts, old_steps, dsel)
         _, (states, sos, scs) = lax.scan(body, state0, xs)
+        if b is not None:
+            return states, jnp.sum(sos, axis=0), jnp.sum(scs, axis=0)
         return states, jnp.sum(sos), jnp.sum(scs)
 
     def _sel_logp_window(self, tr: Trace, args, selection: Selection,
@@ -932,21 +942,27 @@ class Unfold(GenFn):
     def select_trace(self, accept, new_tr: Trace, old_tr: Trace) -> Trace:
         """Accept/reject select keeping the lockstep active length (and any
         args) from the NEW trace — they agree on both sides by the MH-kernel
-        contract, and selecting them would batch layout-shared leaves."""
-        from .gfi import select_batched
-        steps = select_batched(accept, new_tr.inner["steps"],
+        contract, and selecting them would batch layout-shared leaves.
+        A per-particle [b] accept (batched interpretation) aligns against
+        the particle axis of the TIME-MAJOR stacked leaves (position 1)."""
+        from .gfi import select_batched, _where_lead
+        # stacked step/retval leaves are [T, b, ...]: lift a batched accept
+        # over the leading time axis
+        acc_t = (accept if jnp.ndim(accept) == 0
+                 else jnp.asarray(accept)[None])
+        steps = select_batched(acc_t, new_tr.inner["steps"],
                                old_tr.inner["steps"])
         om_new = _outer_mask(new_tr)
         om_old = _outer_mask(old_tr)
         if om_new is True and om_old is True:
             om = True
         else:
-            om = jnp.where(accept, jnp.asarray(om_new, bool),
-                           jnp.asarray(om_old, bool))
+            om = _where_lead(accept, jnp.asarray(om_new, bool),
+                             jnp.asarray(om_old, bool))
         inner = _inner(steps, new_tr.inner["t"], om)
         return Trace(self, new_tr.args,
-                     select_batched(accept, new_tr.retval, old_tr.retval),
-                     jnp.where(accept, new_tr.score, old_tr.score), inner)
+                     select_batched(acc_t, new_tr.retval, old_tr.retval),
+                     _where_lead(accept, new_tr.score, old_tr.score), inner)
 
 
 class MapCombinator(GenFn):

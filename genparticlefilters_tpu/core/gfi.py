@@ -305,17 +305,30 @@ def tree_select_shared(a, b) -> bool:
         return False
 
 
+def _where_lead(cond, a, b):
+    """``where`` aligning ``cond`` against the LEADING axes of the operands
+    (a per-particle [b] mask vs [b, ...] leaves; jnp.where alone would
+    right-align). Scalar conds pass through unchanged."""
+    c = jnp.asarray(cond)
+    nd = max(jnp.ndim(a), jnp.ndim(b))
+    if c.ndim and nd > c.ndim:
+        c = c.reshape(c.shape + (1,) * (nd - c.ndim))
+    return jnp.where(c, a, b)
+
+
 def select_batched(accept, new, old):
     """``where(accept, new, old)`` over a container, dispatching nested
     traces to :meth:`GenFn.select_trace` (so combinator-shared leaves — the
     lockstep active length, stored args — keep their unbatched layout) and
-    skipping leaves shared on both sides."""
+    skipping leaves shared on both sides. ``accept`` may be a scalar (the
+    vmapped per-particle path) or a per-particle [b] mask (batched
+    interpretation), aligned against leading leaf axes."""
     def one(a, b):
         if isinstance(a, Trace):
             return a.gen_fn.select_trace(accept, a, b)
         if tree_select_shared(a, b):
             return a
-        return jnp.where(accept, a, b)
+        return _where_lead(accept, a, b)
     return jax.tree_util.tree_map(one, new, old,
                                   is_leaf=lambda x: isinstance(x, Trace))
 

@@ -104,7 +104,9 @@ def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
         delta, w = trace.gen_fn.regenerate_delta(
             k1, trace, args, _nochange(args), selection_or_proposal,
             window=window)
-        accept = jnp.log(jr.uniform(k3, (), jnp.float32)) < w
+        # accept shape follows w: scalar per particle under vmap, [N] in
+        # batched interpretation
+        accept = jnp.log(jr.uniform(k3, jnp.shape(w), jnp.float32)) < w
         out = trace.gen_fn.apply_regenerate_delta(trace, delta, accept)
         if check:
             check_observations(out.get_choices(), observations)
@@ -126,7 +128,7 @@ def mh(key, trace: Trace, selection_or_proposal, proposal_args=None,
             k2, trace, args, _nochange(args), fwd_choices)
         _, bwd_score = proposal.assess((new_tr,) + p_args, discard)
         w = w_upd - fwd_score + bwd_score
-    accept = jnp.log(jr.uniform(k3, (), jnp.float32)) < w
+    accept = jnp.log(jr.uniform(k3, jnp.shape(w), jnp.float32)) < w
     out = _tree_select(accept, new_tr, trace)
     if check:
         check_observations(out.get_choices(), observations)
@@ -180,9 +182,36 @@ def move_reweight(key, trace: Trace, selection_or_proposal,
 # ---------------------------------------------------------------------------
 
 def _sweeps(key, traces, kern, kern_args, n_iters, kwargs):
-    """Apply ``kern`` n_iters times per particle (vmap outside, scan inside).
-    Returns (new_traces, aux_sum [N], aux_last [N])."""
+    """Apply ``kern`` n_iters times per particle.
+    Returns (new_traces, aux_sum [N], aux_all [N, n_iters] or [n_iters, N]).
+
+    With a batch-safe model the whole sweep runs as ONE batched
+    interpretation (scalar kernel keys, [N]-wide proposals/accepts);
+    otherwise vmap over split per-particle keys."""
     n = jax.tree_util.tree_leaves(traces.score)[0].shape[0]
+
+    if getattr(traces.gen_fn, "batch_safe", False):
+        from ..core.gfi import batched_interpretation
+
+        with batched_interpretation(n):
+            if n_iters == 1:
+                tr2, aux = kern(jr.fold_in(key, 0), traces, *kern_args,
+                                **kwargs)
+                aux_f = jnp.asarray(aux, jnp.float32)
+                return tr2, aux_f, aux_f[:, None]
+
+            def body(carry, i):
+                tr, acc = carry
+                tr2, aux = kern(jr.fold_in(key, i), tr, *kern_args, **kwargs)
+                aux_f = jnp.asarray(aux, jnp.float32)
+                return (tr2, acc + aux_f), aux_f
+
+            (tr_out, aux_sum), aux_all = lax.scan(
+                body, (traces, jnp.zeros((n,), jnp.float32)),
+                jnp.arange(n_iters, dtype=jnp.int32))
+            # [n_iters, N] -> [N, n_iters] (vmapped-path convention)
+            return tr_out, aux_sum, jnp.moveaxis(aux_all, 0, 1)
+
     keys = jr.split(key, n)
 
     def per_particle(k, tr):
