@@ -42,17 +42,66 @@ __all__ = [
 ]
 
 
-def _const_spec(subtree, axis):
-    """Spec pytree with every leaf at ``axis`` (no Trace recursion)."""
-    return jax.tree_util.tree_map(lambda _: axis, subtree)
+_SPEC_PER_PARTICLE = []
 
 
-def gen_spec(subtree, axis):
-    """Spec for an arbitrary container: leaves at ``axis``; nested traces
-    defer to their generative function's ``trace_axes``."""
+class perparticle_specs:
+    """Context: spec derivation runs on PER-PARTICLE trees (leaves lack the
+    particle axis — vmap ``out_axes`` derivation), so a leaf can host the
+    axis at position ``ax`` whenever rank >= ax; on batched trees (the
+    default) the leaf must already CONTAIN the axis (rank > ax), anything
+    under-ranked being shared."""
+
+    def __enter__(self):
+        _SPEC_PER_PARTICLE.append(True)
+        return self
+
+    def __exit__(self, *exc):
+        _SPEC_PER_PARTICLE.pop()
+        return False
+
+
+def _leaf_axis(x, axis, n=None):
+    """Shape-aware spec for one leaf: a leaf that cannot hold the particle
+    axis at ``axis`` — rank too small, or (when the particle count ``n`` is
+    known) the wrong extent there — is SHARED across particles (spec
+    ``None``): fully-constrained observation sites stored once instead of
+    N-fold, scalar stored args of sub-calls. See :class:`perparticle_specs`
+    for the per-particle-tree rank rule."""
+    if axis is None:
+        return None
+    if _SPEC_PER_PARTICLE:
+        return axis if jnp.ndim(x) >= axis else None
+    if jnp.ndim(x) <= axis:
+        return None
+    if n is not None and jnp.shape(x)[axis] != n:
+        return None
+    return axis
+
+
+def spec_n(score, axis):
+    """The particle count implied by a trace's per-particle score leaf
+    (the score ALWAYS carries the particle axis), or None when the tree is
+    per-particle (scalar score)."""
+    if _SPEC_PER_PARTICLE:
+        return None
+    s = jnp.shape(score)
+    return s[axis] if len(s) > axis else None
+
+
+def _const_spec(subtree, axis, n=None):
+    """Spec pytree with every leaf at ``axis`` (no Trace recursion);
+    shape-aware (see :func:`_leaf_axis`)."""
+    return jax.tree_util.tree_map(lambda x: _leaf_axis(x, axis, n), subtree)
+
+
+def gen_spec(subtree, axis, n=None):
+    """Spec for an arbitrary container: leaves at ``axis`` (shape-aware —
+    leaves that cannot hold the axis are shared, :func:`_leaf_axis`);
+    nested traces defer to their generative function's ``trace_axes``."""
     return jax.tree_util.tree_map(
         lambda x: (x.gen_fn.trace_axes(x, axis) if isinstance(x, Trace)
-                   else axis),
+                   else _leaf_axis(x, axis, n)),
         subtree, is_leaf=lambda x: isinstance(x, Trace))
 
 
@@ -102,7 +151,7 @@ def unbatch_avals(batched, spec):
     """Abstract per-particle values: drop the particle axis of each leaf at
     its spec position (``None`` leaves pass through unchanged)."""
     def one(x, ax):
-        if ax is None or not hasattr(x, "shape"):
+        if ax is None or not hasattr(x, "shape") or len(x.shape) <= ax:
             return x
         shape = tuple(x.shape[:ax]) + tuple(x.shape[ax + 1:])
         return jax.ShapeDtypeStruct(shape, x.dtype)
@@ -134,7 +183,8 @@ def vmap_gfi(fn, *batched, in_specs=None):
 
     avals = tuple(unbatch_avals(b, s) for b, s in zip(batched, in_specs))
     out_shape = jax.eval_shape(per_particle, *avals)
-    out_spec = axes_spec(out_shape)
+    with perparticle_specs():  # out_shape leaves lack the particle axis
+        out_spec = axes_spec(out_shape)
     return jax.vmap(per_particle, in_axes=in_specs, out_axes=out_spec)(*batched)
 
 
@@ -163,7 +213,7 @@ def tree_take(tree, idx, spec=None):
     idx = jnp.asarray(idx)
 
     def one(l, ax):
-        if ax is None or jnp.ndim(l) == 0:
+        if ax is None or jnp.ndim(l) <= ax:
             return l
         return jnp.take(l, idx, axis=ax)
     return spec_map(one, tree, spec)
@@ -177,7 +227,7 @@ def tree_put(full, block, idx, spec=None):
     idx = jnp.asarray(idx)
 
     def one(f, ax, b):
-        if ax is None or jnp.ndim(f) == 0:
+        if ax is None or jnp.ndim(f) <= ax:
             return f
         sel = (slice(None),) * ax + (idx,)
         return f.at[sel].set(b)
@@ -190,7 +240,7 @@ def tree_concat(a, b, spec=None):
         spec = axes_spec(a)
 
     def one(x, ax, y):
-        if ax is None:
+        if ax is None or jnp.ndim(x) <= ax:
             return x
         return jnp.concatenate([x, y], axis=ax)
     return spec_map(one, a, spec, b)

@@ -276,7 +276,9 @@ class Unfold(GenFn):
             if v.ndim == 0 or v.shape[0] != self.T:
                 v = jnp.broadcast_to(v, (self.T,) + v.shape)
             if e.mask is True:
-                m = jnp.ones((self.T,), dtype=bool)
+                m = True  # STATIC: per-step slices stay statically
+                # constrained, so handlers take the no-sampling fast path
+                # and store the site SHARED (see docs/gfi.md)
             else:
                 m = jnp.asarray(e.mask, bool)
                 if m.ndim == 0 or m.shape[0] != self.T:
@@ -338,12 +340,18 @@ class Unfold(GenFn):
         inner = _inner(_slim_steps(steps), t_active)
         return Trace(self, args, states, score, inner)
 
-    def _empty_trace(self, key, args):
+    def _empty_trace(self, key, args, constraints: ChoiceMap = EMPTY):
         """A t_active=0 trace (all steps inactive): structural zeros built
-        from an abstract evaluation of simulate — no step body executes."""
+        from an abstract evaluation of a CONSTRAINED generate — no step body
+        executes. Shaping against the constraints matters: fully-constrained
+        sites are stored SHARED (no particle axis), and the extension writes
+        into this proto must preserve that (an unconstrained ``simulate``
+        shape would batch them). t_active=0 keeps the full-scan path (no
+        fast-path recursion)."""
         _, state0, params = self._split_args(args)
         zero_args = (jnp.asarray(0, jnp.int32), state0) + params
-        shapes = jax.eval_shape(lambda k: self.simulate(k, zero_args), key)
+        shapes = jax.eval_shape(
+            lambda k: self.generate(k, zero_args, constraints)[0], key)
         return jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
@@ -358,7 +366,7 @@ class Unfold(GenFn):
         if not isinstance(t_active, jax.core.Tracer):
             k_static = int(t_active)
             if 0 < k_static <= 2 and self.T > k_static:
-                tr0 = self._empty_trace(key, args)
+                tr0 = self._empty_trace(key, args, constraints)
                 new_tr, logq, _ = self._update_extend(
                     key, tr0, args, constraints, k_static)
                 return new_tr, new_tr.score - logq
@@ -917,22 +925,24 @@ class Unfold(GenFn):
         SMC layer extends all particles in lockstep, and an unbatched ``t``
         is what lets the extension write lower to one O(N)
         ``dynamic_update_slice`` instead of a per-particle scatter)."""
-        from .batching import gen_spec, _const_spec
+        from .batching import gen_spec, _const_spec, spec_n
+        n = spec_n(tr.score, axis)
         inner = tr.inner
         spec_inner = {
             "steps": self.step.trace_axes(inner["steps"], axis + 1),
             "t": None,
         }
         if "outer_mask" in inner:
-            spec_inner["outer_mask"] = gen_spec(inner["outer_mask"], axis)
+            spec_inner["outer_mask"] = gen_spec(inner["outer_mask"], axis, n)
         if args_shared:
             args_spec = _const_spec(tr.args, None)
         else:
             # sub-call position: state0/params may derive from per-particle
             # upstream values; the active length stays shared by contract
-            args_spec = ((None,) + tuple(gen_spec(a, axis) for a in tr.args[1:])
+            args_spec = ((None,) + tuple(gen_spec(a, axis, n)
+                                         for a in tr.args[1:])
                          if tr.args else ())
-        return Trace(self, args_spec, gen_spec(tr.retval, axis + 1), axis,
+        return Trace(self, args_spec, gen_spec(tr.retval, axis + 1, n), axis,
                      spec_inner)
 
     def trace_choice_axes(self, tr: Trace, axis: int = 0):
@@ -1119,11 +1129,12 @@ class MapCombinator(GenFn):
         indexed, so nothing is gained by a deeper particle axis — every leaf
         under the plate (including nested combinator traces and their args)
         stacks at ``axis``."""
-        from .batching import _const_spec, gen_spec
+        from .batching import _const_spec, gen_spec, spec_n
+        n = spec_n(tr.score, axis)
         args_spec = (_const_spec(tr.args, None) if args_shared
-                     else gen_spec(tr.args, axis))
-        return Trace(self, args_spec, _const_spec(tr.retval, axis), axis,
-                     {"steps": _const_spec(tr.inner["steps"], axis)})
+                     else gen_spec(tr.args, axis, n))
+        return Trace(self, args_spec, _const_spec(tr.retval, axis, n), axis,
+                     {"steps": _const_spec(tr.inner["steps"], axis, n)})
 
     def trace_choice_axes(self, tr: Trace, axis: int = 0):
         return {k: axis for k in

@@ -268,12 +268,15 @@ class GenFn:
         moved by resampling gathers. Sub-call traces inside a model keep
         batched args (they derive from per-particle upstream values).
         Combinators override to keep their stacked step storage time-major
-        (particle axis after the static step axis)."""
-        from .batching import gen_spec, _const_spec
+        (particle axis after the static step axis). The particle count
+        implied by the score leaf disambiguates SHARED leaves (stored once,
+        no particle axis — see batching._leaf_axis)."""
+        from .batching import gen_spec, _const_spec, spec_n
+        n = spec_n(tr.score, axis)
         args_spec = (_const_spec(tr.args, None) if args_shared
-                     else gen_spec(tr.args, axis))
-        return Trace(self, args_spec, gen_spec(tr.retval, axis), axis,
-                     gen_spec(tr.inner, axis))
+                     else gen_spec(tr.args, axis, n))
+        return Trace(self, args_spec, gen_spec(tr.retval, axis, n), axis,
+                     gen_spec(tr.inner, axis, n))
 
     def trace_choice_axes(self, tr: Trace, axis: int = 0):
         """``{address: particle-axis}`` for every entry of
@@ -308,9 +311,16 @@ def tree_select_shared(a, b) -> bool:
 def _where_lead(cond, a, b):
     """``where`` aligning ``cond`` against the LEADING axes of the operands
     (a per-particle [b] mask vs [b, ...] leaves; jnp.where alone would
-    right-align). Scalar conds pass through unchanged."""
+    right-align). Scalar conds pass through unchanged.
+
+    When the cond has MORE axes than the operands, the operands are SHARED
+    across particles (e.g. a fully-constrained observation stored once);
+    a per-particle select over a shared leaf is only reachable when both
+    sides hold the same kept-old value, so it passes ``a`` through."""
     c = jnp.asarray(cond)
     nd = max(jnp.ndim(a), jnp.ndim(b))
+    if c.ndim > nd:
+        return jnp.asarray(a)
     if c.ndim and nd > c.ndim:
         c = c.reshape(c.shape + (1,) * (nd - c.ndim))
     return jnp.where(c, a, b)
@@ -572,7 +582,11 @@ class _GenerateHandler(_Handler):
             return v
         if e.mask is True:
             self.fresh_key()  # keep the per-site key stream stable
-            v = _to_batch(e.value, self.batch)
+            # fully-constrained site: store the SHARED value (no particle
+            # axis, no sampling) — observations are identical across
+            # particles, so per-particle storage would only inflate the
+            # bytes every resampling gather and extension write moves
+            v = jnp.asarray(e.value)
             lp = dist.log_prob(v)
             self.weight = self.weight + _bsum(lp, self.batch)
             self.record(addr, v, lp)
@@ -602,7 +616,7 @@ class _AssessHandler(_Handler):
         e = self.choices.resolve(addr)
         if e is None:
             raise ValueError(f"assess: missing choice at address {addr!r}")
-        v = _to_batch(e.value, self.batch)
+        v = jnp.asarray(e.value)
         self.record(addr, v, dist.log_prob(v))
         return v
 
@@ -628,6 +642,25 @@ class _UpdateHandler(_Handler):
     def dist_site(self, addr, dist):
         e = self.constraints.resolve(addr)
         old = self.old_sites.get(addr)
+
+        # static fast paths — no sampling, SHARED storage preserved:
+        if e is not None and e.mask is True:
+            # fully constrained: value = constraint, logq/weight fresh-term
+            # empty; old value (if any) is discarded where it was present
+            self.fresh_key()  # keep the per-site key stream stable
+            v = jnp.asarray(e.value)
+            if old is not None and old.mask is not False:
+                self.discard[addr] = Entry(old.value, old.mask)
+            self.record(addr, v, dist.log_prob(v))
+            return v
+        if e is None and old is not None and old.mask is True:
+            # pure reuse: keep the old value (rescored under new params);
+            # no fresh mass, no discard
+            self.fresh_key()
+            v = jnp.asarray(old.value)
+            self.record(addr, v, dist.log_prob(v))
+            return v
+
         sampled = self.sample_site(dist)
         shape = jnp.shape(sampled)
 
@@ -695,6 +728,13 @@ class _RegenerateHandler(_Handler):
     def dist_site(self, addr, dist):
         old = self.old_sites.get(addr)
         sel = _scope_path(self.selection, addr).mask_at_leaf()
+        if old is not None and sel is False and old.mask is True:
+            # statically unselected, fully present: keep the old value
+            # (SHARED storage preserved, no sampling pass)
+            self.fresh_key()
+            v = jnp.asarray(old.value)
+            self.record(addr, v, dist.log_prob(v))
+            return v
         sampled = self.sample_site(dist)
         shape = jnp.shape(sampled)
         if old is None:
@@ -768,7 +808,7 @@ class _SelLogpHandler(_Handler):
             if self.batch is not None:
                 return dist.sample_batched(jr.key(0), self.batch)
             return dist.sample(jr.key(0))
-        v = _to_batch(old.value, self.batch)
+        v = jnp.asarray(old.value)
         mo = _mask_to(old.mask, jnp.shape(v))
         if mo is False:
             return v

@@ -16,7 +16,7 @@ import jax.random as jr
 from ..core import gen, trace, normal, Unfold, ChoiceMap, Entry
 from ..smc.algorithms import run_particle_filter
 
-__all__ = ["LGParams", "make_lgssm", "lg_obs_at_t", "kalman_filter",
+__all__ = ["LGParams", "make_lgssm", "lg_obs_at_t", "lg_obs_dense", "kalman_filter",
            "lgssm_particle_filter", "synthesize_lg_data"]
 
 
@@ -47,6 +47,11 @@ def lg_obs_at_t(y_obs_full, t):
     t_max = y_obs_full.shape[0]
     return ChoiceMap({("y",): Entry(y_obs_full,
                                     jnp.arange(t_max) == t)})
+
+
+def lg_obs_dense(y_obs_full):
+    """Static-True observation mask (shared y storage; see docs/gfi.md)."""
+    return ChoiceMap({("y",): Entry(y_obs_full, True)})
 
 
 def synthesize_lg_data(key, t_max: int, p: LGParams):
@@ -82,5 +87,5 @@ def lgssm_particle_filter(key, y_obs, n_particles: int, t_max: int,
     return run_particle_filter(
         key, model, t_max, n_particles,
         step_args_fn=lambda t: (t + 1, x0),
-        obs_fn=lambda t: lg_obs_at_t(y_obs, t),
+        obs_fn=lambda t: lg_obs_dense(y_obs),
         ess_frac=ess_frac, resample_method=resample_method)

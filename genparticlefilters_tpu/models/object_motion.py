@@ -25,7 +25,7 @@ from ..core import (gen, trace, bernoulli, normal, Unfold, ChoiceMap, Entry,
 from ..smc import (pf_initialize, pf_update, pf_resample, pf_rejuvenate,
                    effective_sample_size, mh)
 
-__all__ = ["make_object_motion", "init_state", "synthesize_data",
+__all__ = ["make_object_motion", "init_state", "synthesize_data", "obs_dense",
            "object_motion_filter", "object_motion_filter_impl", "obs_at_t"]
 
 
@@ -58,6 +58,16 @@ def obs_at_t(y_obs_full, t):
     return ChoiceMap({("y_obs",): Entry(y_obs_full, mask)})
 
 
+def obs_dense(y_obs_full):
+    """Dense observation constraint with a STATIC True mask. Correct
+    whenever every *processed* step is observed — i.e. for ``Extend``-driven
+    extension updates (only newly activated steps run) and for ``generate``
+    (all active steps observed) — and maximally static: the handlers then
+    store the observed site SHARED (one [T] row instead of [T, N]) and skip
+    its sampling pass entirely."""
+    return ChoiceMap({("y_obs",): Entry(y_obs_full, True)})
+
+
 def synthesize_data(key, t_max: int, switch_t: int):
     """Generate a ground-truth trajectory: still for ``switch_t`` steps then
     moving (ref: README.md:85-89). Returns (y_obs [t_max], trace)."""
@@ -78,7 +88,8 @@ def object_motion_filter_impl(key, y_obs, n_particles: int, t_max: int,
     model = make_object_motion(t_max)
     x0 = init_state()
     k0, kloop = jr.split(key)
-    state = pf_initialize(k0, model, (1, x0), obs_at_t(y_obs, 0), n_particles)
+    obs = obs_dense(y_obs)  # static-True mask: shared y_obs storage
+    state = pf_initialize(k0, model, (1, x0), obs, n_particles)
 
     def step(state, t):
         kt = jr.fold_in(kloop, t)
@@ -96,7 +107,7 @@ def object_motion_filter_impl(key, y_obs, n_particles: int, t_max: int,
         state = lax.cond(ess < ess_frac * n_particles,
                          resample_rejuvenate, lambda s: s, state)
         state = pf_update(ku, state, (t + 1, x0), (Extend(1), NoChange()),
-                          obs_at_t(y_obs, t), check=False)
+                          obs, check=False)
         return state, None
 
     state, _ = lax.scan(step, state, jnp.arange(1, t_max, dtype=jnp.int32))

@@ -17,7 +17,7 @@ from ..core import gen, trace, normal, Unfold, ChoiceMap, Entry, Selection
 from ..smc import pf_move_reweight, move_reweight
 from ..smc.algorithms import run_particle_filter
 
-__all__ = ["SVParams", "make_sv_model", "sv_obs_at_t",
+__all__ = ["SVParams", "make_sv_model", "sv_obs_at_t", "sv_obs_dense",
            "sv_particle_filter", "synthesize_sv_data"]
 
 
@@ -45,6 +45,13 @@ def make_sv_model(t_max: int, p: SVParams) -> Unfold:
 def sv_obs_at_t(y_obs_full, t):
     t_max = y_obs_full.shape[0]
     return ChoiceMap({("y",): Entry(y_obs_full, jnp.arange(t_max) == t)})
+
+
+def sv_obs_dense(y_obs_full):
+    """Static-True observation mask: correct for Extend-driven filters and
+    generate (every processed step observed); stores y SHARED (one [T] row
+    instead of [T, N]) and skips its sampling pass (see docs/gfi.md)."""
+    return ChoiceMap({("y",): Entry(y_obs_full, True)})
 
 
 def synthesize_sv_data(key, t_max: int, p: SVParams):
@@ -75,6 +82,6 @@ def sv_particle_filter(key, y_obs, n_particles: int, t_max: int,
     return run_particle_filter(
         key, model, t_max, n_particles,
         step_args_fn=lambda t: (t + 1, h0),
-        obs_fn=lambda t: sv_obs_at_t(y_obs, t),
+        obs_fn=lambda t: sv_obs_dense(y_obs),
         ess_frac=ess_frac, resample_method="systematic",
         rejuvenate_fn=rejuvenate)

@@ -264,7 +264,7 @@ def _pack_rows(leaves, axes):
     rows, meta = [], []
     for l, ax in zip(leaves, axes):
         packable = (hasattr(l, "dtype") and ax is not None
-                    and l.ndim > 0 and l.size > 0
+                    and l.ndim > ax and l.size > 0
                     and (l.dtype in (jnp.int32, jnp.uint32, jnp.bool_)
                          or l.dtype == jnp.float32))
         if not packable:
@@ -292,7 +292,7 @@ def _unpack_rows(big, leaves, meta, parents, n):
     off = 0
     for l, (dtype, shape, width, ax) in zip(leaves, meta):
         if width == 0:
-            if ax is None or jnp.ndim(l) == 0:
+            if ax is None or jnp.ndim(l) <= ax:
                 out_leaves.append(l)
             else:
                 out_leaves.append(jnp.take(l, parents, axis=ax))

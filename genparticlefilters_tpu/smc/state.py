@@ -233,7 +233,8 @@ def sample_unweighted_traces(key, state, n_samples: int) -> Trace:
 # Batched address resolution (used by statistics)
 # ---------------------------------------------------------------------------
 
-def batched_choice_entry(choices: ChoiceMap, addr, entry_axes=None):
+def batched_choice_entry(choices: ChoiceMap, addr, entry_axes=None,
+                         n_particles=None):
     """Resolve ``addr`` against a choicemap, returning ``(value, mask)``.
 
     ``entry_axes`` maps each stored entry address to its particle-axis
@@ -251,24 +252,41 @@ def batched_choice_entry(choices: ChoiceMap, addr, entry_axes=None):
     m = e.mask if e.mask is True else e.mask_array()
     if entry_axes is not None:
         ax = entry_axes.get(key, 0)
-        v = moveaxis_to_front(v, ax)
-        if m is not True:
-            m = moveaxis_to_front(m, ax)
-        sel = (slice(None),) + tuple(idxs)
-    else:
-        sel = tuple(idxs)
+
+        def pick(x):
+            # shape-aware: an entry that cannot hold the particle axis at
+            # ``ax`` (rank too small, or wrong extent when n is known) is
+            # SHARED across particles (e.g. a fully-constrained observation
+            # stored once) — index combinator axes directly
+            batched = jnp.ndim(x) > ax and (
+                n_particles is None or jnp.shape(x)[ax] == n_particles)
+            if batched:
+                x = moveaxis_to_front(x, ax)
+                return x[(slice(None),) + tuple(idxs)] if idxs else x
+            return x[tuple(idxs)] if idxs else x
+
+        return pick(v), (True if m is True else pick(m))
     if idxs:
-        v = v[sel]
+        v = v[tuple(idxs)]
         if m is not True:
-            m = m[sel]
+            m = m[tuple(idxs)]
     return v, m
 
 
 def batched_choice(state, addr):
     """Per-particle values at ``addr``: shape [N, ...] (particle-first
-    regardless of the internal time-major storage layout)."""
+    regardless of the internal time-major storage layout). Sites stored
+    SHARED across particles (fully-constrained observations) are broadcast
+    to [N, ...] here, so user-facing shapes are layout-independent."""
     traces = state.traces
     choices = traces.get_choices()
     axes = choice_axes(traces.gen_fn, traces)
-    v, _ = batched_choice_entry(choices, addr, axes)
+    n = (state.n_particles if hasattr(state, "n_particles")
+         else jax.tree_util.tree_leaves(traces.score)[0].shape[0])
+    v, _ = batched_choice_entry(choices, addr, axes, n_particles=n)
+    key, _, e = choices.locate(addr)
+    ax = axes.get(key, 0)
+    shared = jnp.ndim(e.value) <= ax or jnp.shape(e.value)[ax] != n
+    if shared:  # broadcast for a layout-independent user-facing view
+        v = jnp.broadcast_to(v, (n,) + jnp.shape(v))
     return v

@@ -132,6 +132,10 @@ def main():
     timeit("pf_resample x1", rs, jr.key(3), state)
     timeit("pf_rejuv    x1", rj, jr.key(4), state)
 
+    init = jax.jit(lambda k: fold(pf_initialize(
+        k, model, (1, x0), obs_at_t(y_obs, 0), N)))
+    timeit("pf_init     x1", init, jr.key(5))
+
 
 if __name__ == "__main__":
     main()

@@ -66,9 +66,14 @@ def test_sample_unweighted_traces():
     state = g.pf_initialize(jr.key(0), line_model, (0,), slope_choicemap(1),
                             20)
     traces = g.sample_unweighted_traces(jr.key(1), state, 7)
+    # "slope" is fully constrained -> stored SHARED (no particle axis in the
+    # raw trace storage; user-facing per-particle views broadcast)
     slopes = traces.get_choices()["slope"]
-    assert slopes.shape[0] == 7
+    assert jnp.shape(slopes) in ((), (7,))
     assert bool(jnp.all(slopes == 1))
+    # an unconstrained per-step site keeps its per-sample axis
+    outl = traces.get_choices()[("line", 0, "outlier")]
+    assert jnp.shape(outl) == (7,)
 
 
 def test_mean_var_proportionmap():
