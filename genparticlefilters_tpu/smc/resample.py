@@ -149,15 +149,25 @@ def _merge_count(c, u):
     pad = jnp.iinfo(jnp.int32).max - 1  # even: tag bit 0, never read as c
     z = jnp.concatenate([
         ck, jnp.full((Mp - n - m,), pad, jnp.int32), uk[::-1]])
-    i = jnp.arange(Mp, dtype=jnp.int32)
-    d = Mp >> 1
-    while d >= 1:
-        # stage-d pairing (i <-> i+d within 2d blocks): positions with bit d
-        # clear take min with the +d partner, others max with the -d partner
-        lo_half = (i & d) == 0
-        z = jnp.where(lo_half, jnp.minimum(z, jnp.roll(z, -d)),
-                      jnp.maximum(z, jnp.roll(z, d)))
-        d >>= 1
+    from .. import config as _config
+    from ..ops.merge_count import bitonic_merge_sorted, merge_fits_vmem
+    use_kernel = (Mp % 128 == 0 and merge_fits_vmem(Mp)
+                  and _config.clustered_gather
+                  and jax.devices()[0].platform == "tpu"
+                  and not _maybe_partitioned(c))
+    if use_kernel:
+        # all log2(Mp) merge stages run VMEM-resident (ops/merge_count.py)
+        z = bitonic_merge_sorted(z)
+    else:
+        i = jnp.arange(Mp, dtype=jnp.int32)
+        d = Mp >> 1
+        while d >= 1:
+            # stage-d pairing (i <-> i+d within 2d blocks): positions with
+            # bit d clear take min with the +d partner, others max with -d
+            lo_half = (i & d) == 0
+            z = jnp.where(lo_half, jnp.minimum(z, jnp.roll(z, -d)),
+                          jnp.maximum(z, jnp.roll(z, d)))
+            d >>= 1
     tags = z & 1
     r = jnp.cumsum(tags) - tags              # rank among c at c slots
     F_at_slot = i - r                        # u's before this c

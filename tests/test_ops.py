@@ -151,3 +151,21 @@ def test_dma_row_gather_interpret():
     out = gather_rows_pallas(mat, parents, interpret=True)
     np.testing.assert_array_equal(np.asarray(out),
                                   np.asarray(jnp.take(mat, parents, axis=0)))
+
+
+def test_bitonic_merge_kernel_interpret():
+    """The VMEM bitonic-merge kernel (ops/merge_count.py) sorts a bitonic
+    int32 sequence exactly (Pallas interpreter on CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import jax.random as jr
+    from genparticlefilters_tpu.ops.merge_count import bitonic_merge_sorted
+
+    for seed, m in [(0, 512), (1, 2048), (2, 4096)]:
+        a = np.sort(np.asarray(
+            jr.randint(jr.key(seed), (m // 2,), 0, 1 << 28)))
+        b = np.sort(np.asarray(
+            jr.randint(jr.key(seed + 10), (m // 2,), 0, 1 << 28)))
+        z = jnp.asarray(np.concatenate([a, b[::-1]]), jnp.int32)  # bitonic
+        got = np.asarray(bitonic_merge_sorted(z, interpret=True))
+        np.testing.assert_array_equal(got, np.sort(np.concatenate([a, b])))
