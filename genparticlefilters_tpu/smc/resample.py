@@ -155,11 +155,11 @@ def _merge_count(c, u):
                   and _config.clustered_gather
                   and jax.devices()[0].platform == "tpu"
                   and not _maybe_partitioned(c))
+    i = jnp.arange(Mp, dtype=jnp.int32)
     if use_kernel:
         # all log2(Mp) merge stages run VMEM-resident (ops/merge_count.py)
         z = bitonic_merge_sorted(z)
     else:
-        i = jnp.arange(Mp, dtype=jnp.int32)
         d = Mp >> 1
         while d >= 1:
             # stage-d pairing (i <-> i+d within 2d blocks): positions with

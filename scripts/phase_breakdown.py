@@ -27,7 +27,7 @@ import numpy as np
 from jax import lax
 
 from genparticlefilters_tpu.models.object_motion import (
-    make_object_motion, init_state, obs_at_t, synthesize_data)
+    make_object_motion, init_state, obs_at_t, obs_dense, synthesize_data)
 from genparticlefilters_tpu.smc import (
     pf_initialize, pf_update, pf_resample, pf_rejuvenate,
     effective_sample_size, mh)
@@ -64,7 +64,8 @@ def main():
 
     def filter_mode(key, mode):
         k0, kloop = jr.split(key)
-        state = pf_initialize(k0, model, (1, x0), obs_at_t(y_obs, 0), N)
+        obs = obs_dense(y_obs)
+        state = pf_initialize(k0, model, (1, x0), obs, N)
 
         def step(state, t):
             kt = jr.fold_in(kloop, t)
@@ -89,7 +90,7 @@ def main():
                 state = branch(state)
             state = pf_update(ku, state, (t + 1, x0),
                               (Extend(1), NoChange()),
-                              obs_at_t(y_obs, t), check=False)
+                              obs, check=False)
             return state, None
 
         state, _ = lax.scan(step, state, jnp.arange(1, T, dtype=jnp.int32))
@@ -107,9 +108,7 @@ def main():
 
     # single ops on a fixed mid-filter state
     k0 = jr.key(1)
-    state = pf_initialize(k0, model, (5, x0),
-                          jax.tree_util.tree_map(lambda x: x, obs_at_t(
-                              y_obs, 0)), N)
+    state = pf_initialize(k0, model, (5, x0), obs_dense(y_obs), N)
 
     def fold(s):
         # anti-DCE: touch every trace leaf
@@ -119,7 +118,7 @@ def main():
             if getattr(l, "size", 0))
 
     up = jax.jit(lambda k, s: fold(pf_update(
-        k, s, (6, x0), (Extend(1), NoChange()), obs_at_t(y_obs, 5),
+        k, s, (6, x0), (Extend(1), NoChange()), obs_dense(y_obs),
         check=False)))
     rs = jax.jit(lambda k, s: fold(pf_resample(
         k, s, "systematic", check=False)))
@@ -133,7 +132,7 @@ def main():
     timeit("pf_rejuv    x1", rj, jr.key(4), state)
 
     init = jax.jit(lambda k: fold(pf_initialize(
-        k, model, (1, x0), obs_at_t(y_obs, 0), N)))
+        k, model, (1, x0), obs_dense(y_obs), N)))
     timeit("pf_init     x1", init, jr.key(5))
 
 
