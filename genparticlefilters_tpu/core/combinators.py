@@ -991,33 +991,57 @@ class MapCombinator(GenFn):
     def batch_safe(self):
         return self.kernel.batch_safe
 
-    def _vargs(self, args):
-        in_axes = []
-        vargs = []
-        for a in args:
-            arr = a
-            if (hasattr(arr, "shape") and len(jnp.shape(arr)) > 0
-                    and jnp.shape(arr)[0] == self.n):
-                in_axes.append(0)
-                vargs.append(arr)
-            else:
-                in_axes.append(None)
-                vargs.append(arr)
-        return tuple(vargs), tuple(in_axes)
+    def _pvmap(self, fn, *operands):
+        """``vmap`` over the PLATE axis with per-leaf axis placement.
+
+        Per-particle (unbatched) interpretation: plate leaves map at 0,
+        shared leaves pass whole. Batched interpretation: leaves shaped
+        ``[b, n, ...]`` (particle-major storage) map at 1; plate-only
+        leaves ``[n, ...]`` (e.g. SHARED constrained sites, split keys,
+        plate-indexed args) map at 0; everything else — including
+        per-particle-but-plate-shared ``[b, ...]`` values — passes whole.
+        Output axes come from an abstract element evaluation: leaves with
+        a leading particle dim stack the plate at 1 (keeping the
+        particle-major layout ``trace_axes`` promises), the rest at 0."""
+        b = current_batch()
+        n = self.n
+
+        def in_leaf(x):
+            nd, shp = jnp.ndim(x), jnp.shape(x)
+            if b is not None and nd >= 2 and shp[0] == b and shp[1] == n:
+                return 1   # particle-major [b, n, ...]
+            if nd >= 1 and shp[0] == n:
+                return 0   # plate-leading [n, ...]
+            return None    # shared (incl. per-particle plate-shared [b, ...])
+
+        in_specs = tuple(jax.tree_util.tree_map(in_leaf, op)
+                         for op in operands)
+
+        def drop(x, ax):
+            if ax is None or not hasattr(x, "shape"):
+                return x
+            shp = tuple(x.shape)
+            return jax.ShapeDtypeStruct(shp[:ax] + shp[ax + 1:], x.dtype)
+
+        from .batching import spec_map
+        avals = tuple(spec_map(drop, op, sp)
+                      for op, sp in zip(operands, in_specs))
+        out_sh = jax.eval_shape(fn, *avals)
+
+        def out_leaf(s):
+            if (b is not None and hasattr(s, "shape") and len(s.shape) >= 1
+                    and s.shape[0] == b):
+                return 1
+            return 0
+
+        out_specs = jax.tree_util.tree_map(out_leaf, out_sh)
+        return jax.vmap(fn, in_axes=in_specs, out_axes=out_specs)(*operands)
 
     @staticmethod
-    def _sax():
-        """Plate-axis position in stored step leaves: 0 per-particle, 1 in
-        batched interpretation (particle axis leads; the plate-vmap runs
-        OVER the plate with each element interpreted batched, so plate
-        stacking lands at 1, keeping the particle-major layout
-        ``trace_axes`` promises)."""
-        return 0 if current_batch() is None else 1
-
-    @staticmethod
-    def _psum(x, sax):
-        """Σ over the plate axis, keeping the particle axis when batched."""
-        return jnp.sum(x) if sax == 0 else jnp.sum(x, axis=sax)
+    def _psum(x):
+        """Σ over the plate axis of a per-element accumulator stack:
+        [n] -> scalar, or [b, n] -> [b] in batched interpretation."""
+        return jnp.sum(x) if jnp.ndim(x) == 1 else jnp.sum(x, axis=1)
 
     def _store(self, tr):
         """Per-element stored-args layout fix under batched interpretation
@@ -1026,18 +1050,14 @@ class MapCombinator(GenFn):
         return tr if b is None else self.kernel.batch_stored_args(tr, b)
 
     def simulate(self, key, args):
-        vargs, axes = self._vargs(args)
-        sax = self._sax()
         keys = jr.split(key, self.n)
-        steps = jax.vmap(
+        steps = self._pvmap(
             lambda k, *a: self._store(self.kernel.simulate(k, a)),
-            in_axes=(0,) + axes, out_axes=sax)(keys, *vargs)
-        score = self._psum(steps.score, sax)
+            keys, *args)
+        score = self._psum(steps.score)
         return Trace(self, args, steps.retval, score, {"steps": steps})
 
     def generate(self, key, args, constraints: ChoiceMap = EMPTY):
-        vargs, axes = self._vargs(args)
-        sax = self._sax()
         keys = jr.split(key, self.n)
 
         def one(k, c, *a):
@@ -1045,76 +1065,61 @@ class MapCombinator(GenFn):
             return self._store(tr), w
 
         # constraints: dense entries with [n] leading axis
-        steps, ws = jax.vmap(
-            one, in_axes=(0, 0) + axes, out_axes=sax)(keys, constraints,
-                                                      *vargs)
-        score = self._psum(steps.score, sax)
+        steps, ws = self._pvmap(one, keys, constraints, *args)
+        score = self._psum(steps.score)
         return (Trace(self, args, steps.retval, score, {"steps": steps}),
-                self._psum(ws, sax))
+                self._psum(ws))
 
     def assess(self, args, choices: ChoiceMap):
-        vargs, axes = self._vargs(args)
-        sax = self._sax()
-        retvals, ss = jax.vmap(
-            lambda c, *a: self.kernel.assess(a, c),
-            in_axes=(0,) + axes, out_axes=sax)(choices, *vargs)
-        return retvals, self._psum(ss, sax)
+        retvals, ss = self._pvmap(
+            lambda c, *a: self.kernel.assess(a, c), choices, *args)
+        return retvals, self._psum(ss)
 
     def _update(self, key, tr: Trace, new_args, constraints: ChoiceMap,
                 argdiffs=None):
-        vargs, axes = self._vargs(new_args)
-        sax = self._sax()
         keys = jr.split(key, self.n)
 
         def one(k, o, c, *a):
             s, lq, d = self.kernel._update(k, o, a, c)
             return self._store(s), lq, d
 
-        steps, logqs, disc = jax.vmap(
-            one, in_axes=(0, sax, 0) + axes, out_axes=sax)(
-                keys, tr.inner["steps"], constraints, *vargs)
-        score = self._psum(steps.score, sax)
+        steps, logqs, disc = self._pvmap(
+            one, keys, tr.inner["steps"], constraints, *new_args)
+        score = self._psum(steps.score)
         return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
-                self._psum(logqs, sax), disc)
+                self._psum(logqs), disc)
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
                     window=None, old_args=None, need_sel_old=True):
-        vargs, axes = self._vargs(new_args)
-        sax = self._sax()
         keys = jr.split(key, self.n)
         if old_args is not None:
-            ovargs, oaxes = self._vargs(old_args)
-
             def one(k, o, a, oa):
                 s, sn, so = self.kernel._regenerate(
                     k, o, a, selection, old_args=oa,
                     need_sel_old=need_sel_old)
                 return self._store(s), sn, so
 
-            steps, sns, sos = jax.vmap(
-                one, in_axes=(0, sax, axes, oaxes), out_axes=sax)(
-                    keys, tr.inner["steps"], vargs, ovargs)
+            steps, sns, sos = self._pvmap(
+                one, keys, tr.inner["steps"], tuple(new_args),
+                tuple(old_args))
         else:
             def one(k, o, *a):
                 s, sn, so = self.kernel._regenerate(
                     k, o, a, selection, need_sel_old=need_sel_old)
                 return self._store(s), sn, so
 
-            steps, sns, sos = jax.vmap(
-                one, in_axes=(0, sax) + axes, out_axes=sax)(
-                    keys, tr.inner["steps"], *vargs)
-        score = self._psum(steps.score, sax)
+            steps, sns, sos = self._pvmap(
+                one, keys, tr.inner["steps"], *new_args)
+        score = self._psum(steps.score)
         return (Trace(self, new_args, steps.retval, score, {"steps": steps}),
-                self._psum(sns, sax), self._psum(sos, sax))
+                self._psum(sns), self._psum(sos))
 
     def _sel_logp(self, tr: Trace, args, selection: Selection, window=None):
-        vargs, axes = self._vargs(args)
-        sax = self._sax()
-        retvals, sos, scs = jax.vmap(
+        retvals, sos, scs = self._pvmap(
             lambda o, *a: self.kernel._sel_logp(o, a, selection,
                                                 window=window),
-            in_axes=(sax,) + axes, out_axes=sax)(tr.inner["steps"], *vargs)
-        return retvals, self._psum(sos, sax), self._psum(scs, sax)
+            tr.inner["steps"], *args)
+        return retvals, self._psum(sos), self._psum(scs)
 
     def trace_choices(self, tr: Trace) -> ChoiceMap:
         return self.kernel.trace_choices(tr.inner["steps"])

@@ -90,3 +90,62 @@ def test_unfold_inside_gen_inside_pf():
     assert np.isfinite(m)
     # posterior on drift should be pulled toward observations' implied drift
     assert abs(m) < 1.5
+
+
+def test_map_batched_interpretation():
+    """MapCombinator under batched interpretation: plate stacking lands at
+    axis 1 (particle-major preserved), scores stay per-particle, and the
+    batched trace is structurally identical to the vmapped one."""
+    import copy
+    from genparticlefilters_tpu.core.choicemap import ChoiceMap, Entry
+
+    @g.gen
+    def unit_b(t, mu):
+        x = g.trace("x", g.normal(mu, 1.0))
+        g.trace("y", g.normal(x, 0.5))
+        return x
+
+    unit_b.batch_safe = True
+    plate_b = g.MapCombinator(unit_b, 8)
+
+    @g.gen
+    def model():
+        g.trace("p", plate_b, (jnp.arange(8), jnp.zeros(8)))
+        return 0.0
+
+    model.batch_safe = True
+    ys = jnp.linspace(-1, 1, 8)
+    obs = ChoiceMap({("p", "y"): Entry(jnp.broadcast_to(ys, (8,)), True)})
+    st = g.pf_initialize(jr.key(0), model, (), obs, 32)
+    xs = g.batched_choice(st, ("p", "x"))
+    assert xs.shape == (32, 8)
+    assert st.log_weights.shape == (32,)
+
+    unmarked = copy.copy(model)
+    unmarked.batch_safe = False
+    st_v = g.pf_initialize(jr.key(0), unmarked, (), obs, 32)
+    # same pytree structure; per-leaf layout identical except (a) the
+    # fully-constrained y site, stored SHARED plate-leading [8] batched vs
+    # per-particle [32, 8] vmapped, and (b) the constant model retval
+    # (shared scalar batched vs broadcast [32] vmapped)
+    ch_b = st.traces.get_choices()
+    ch_v = st_v.traces.get_choices()
+    assert jnp.shape(ch_b.entries[("p", "y")].value) == (8,)
+    assert jnp.shape(ch_v.entries[("p", "y")].value) == (32, 8)
+    assert jnp.shape(ch_b.entries[("p", "x")].value) == (32, 8)
+    assert jnp.shape(ch_v.entries[("p", "x")].value) == (32, 8)
+    # fully-constrained weights are deterministic: both modes must agree
+    # EXACTLY
+    obs2 = ChoiceMap({
+        ("p", "y"): Entry(jnp.broadcast_to(ys, (8,)), True),
+        ("p", "x"): Entry(jnp.broadcast_to(jnp.linspace(-0.5, 0.5, 8),
+                                           (8,)), True)})
+    w_b = g.pf_initialize(jr.key(3), model, (), obs2, 4).log_weights
+    w_v = g.pf_initialize(jr.key(3), unmarked, (), obs2, 4).log_weights
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_v), atol=1e-5)
+
+    # resampling gathers the plate leaves correctly
+    st2 = g.pf_resample(jr.key(2), st, "systematic", check=False)
+    xs2 = np.asarray(g.batched_choice(st2, ("p", "x")))
+    np.testing.assert_allclose(xs2, np.asarray(xs)[np.asarray(st2.parents)],
+                               atol=0)
