@@ -29,8 +29,12 @@ __all__ = ["bitonic_merge_sorted", "merge_fits_vmem"]
 
 
 def merge_fits_vmem(m: int) -> bool:
-    """True when the padded array (plus working set) fits VMEM comfortably:
-    ~3 copies of 4 bytes x M; cap at 2^19 elements (= 2 MB each)."""
+    """True when the padded array (plus working set) fits the kernel's VMEM
+    budget: cap at 2^19 elements (2 MB array). v5e physically has 128 MB of
+    VMEM and ``CompilerParams(vmem_limit_bytes=...)`` lifts the 16 MB
+    scoped cap, but Mosaic compilation of the fully-unrolled merge network
+    hangs beyond ~2^20 elements (measured on v5e: 2^18 compiles in ~2 min,
+    2^21 never finishes) — larger arrays take the XLA roll-merge path."""
     return m <= (1 << 19)
 
 
@@ -78,9 +82,14 @@ def bitonic_merge_sorted(z, interpret: bool = False):
     while d >= 1:
         stages.append(d)
         d >>= 1
+    from jax.experimental.pallas import tpu as pltpu
     out = pl.pallas_call(
         functools.partial(_kernel, stages=tuple(stages)),
         out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+        # the whole array + rolled temporaries live in VMEM; v5e has
+        # 128 MB physical — lift the compiler's default 16 MB scoped cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(z.reshape(R, 128))
     return out.reshape(M)
