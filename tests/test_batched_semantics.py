@@ -1,0 +1,136 @@
+"""Batched-interpretation semantics vs the vmapped per-particle path.
+
+The batched path (GenFn.batch_safe, docs/gfi.md) must be DISTRIBUTIONALLY
+identical to vmapping per-particle interpretations. Deterministic
+quantities — weights of fully-constrained programs, rescoring of kept-old
+values, LML folds — must agree exactly; sampled quantities are checked
+statistically via ground truths.
+"""
+
+import copy
+import math
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+import genparticlefilters_tpu as g
+from fixtures import line_model, line_choicemap, slope_choicemap, lp_normal
+
+
+def _unmarked(model):
+    m = copy.copy(model)
+    m.batch_safe = False
+    return m
+
+
+def test_fully_constrained_weights_exact():
+    """generate with every site constrained is deterministic: both paths
+    must produce bit-close weights and scores."""
+    cm = line_choicemap(5).merge(slope_choicemap(1))
+    # constrain outliers too -> no sampling anywhere
+    cm = cm.merge(g.choicemap(*[(("line", t, "outlier"), False)
+                                for t in range(5)]))
+    st_b = g.pf_initialize(jr.key(0), line_model, (5,), cm, 16)
+    st_v = g.pf_initialize(jr.key(0), _unmarked(line_model), (5,), cm, 16)
+    np.testing.assert_allclose(np.asarray(st_b.log_weights),
+                               np.asarray(st_v.log_weights), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_b.log_weights)[0],
+                               np.asarray(st_v.log_weights)[1], atol=1e-5)
+
+
+def test_update_rescore_kept_old_exact():
+    """An args-change update with no constraints keeps old values and
+    rescores them — deterministic given the state, so a batched update of
+    a VMAPPED-built state must match the vmapped update exactly."""
+    from genparticlefilters_tpu.models.tempered import make_tempered_model
+    model = make_tempered_model()
+    st = g.pf_initialize(jr.key(0), _unmarked(model), (0.3,), g.choicemap(),
+                         64)
+    up_b = g.pf_update(jr.key(1), st, (0.7,), (g.UnknownChange(),),
+                       g.choicemap(), check=False)
+    # same state through the vmapped path
+    st_v = g.ParticleFilterState(st.traces, st.log_weights, st.log_ml_est,
+                                 st.parents)
+    import genparticlefilters_tpu.smc.update as upd
+    model_v = _unmarked(model)
+    tr_v = st_v.traces
+    tr_v = g.Trace(model_v, tr_v.args, tr_v.retval, tr_v.score, tr_v.inner)
+    st_v = st_v.replace(traces=tr_v)
+    up_v = g.pf_update(jr.key(1), st_v, (0.7,), (g.UnknownChange(),),
+                       g.choicemap(), check=False)
+    np.testing.assert_allclose(np.asarray(up_b.log_weights),
+                               np.asarray(up_v.log_weights), atol=1e-5)
+    # weight increment = beta-delta * loglik (Factor site), exact math
+    from genparticlefilters_tpu.models.tempered import tempered_loglik
+    xs = np.asarray(g.batched_choice(st, "x"))
+    expect = st.log_weights + 0.4 * np.asarray(tempered_loglik(
+        jnp.asarray(xs)))
+    np.testing.assert_allclose(np.asarray(up_b.log_weights),
+                               np.asarray(expect), atol=1e-4)
+
+
+def test_batched_posterior_vs_enumeration():
+    """Slope posterior from a batched filter matches exact enumeration."""
+    n = 4096
+    cm = line_choicemap(4, slope=1.0)
+    st = g.pf_initialize(jr.key(3), line_model, (4,), cm, n)
+    w = np.asarray(g.get_norm_weights(st), np.float64)
+    slopes = np.asarray(g.batched_choice(st, "slope"))
+    post = {s: w[slopes == s].sum() for s in range(-2, 3)}
+    # enumeration over slope and outliers
+    import itertools
+    Z = {}
+    for s in range(-2, 3):
+        tot = 0.0
+        for outl in itertools.product([False, True], repeat=4):
+            lp = math.log(1 / 5)
+            for t in range(4):
+                lp += math.log(0.1 if outl[t] else 0.9)
+                sd = 10.0 if outl[t] else 1.0
+                lp += lp_normal((t + 1) * 1.0, (t + 1) * s, sd)
+            tot += math.exp(lp)
+        Z[s] = tot
+    total = sum(Z.values())
+    for s in range(-2, 3):
+        assert abs(post[s] - Z[s] / total) < 0.05, (s, post[s], Z[s] / total)
+
+
+def test_batched_rejuvenation_stationarity():
+    """MH rejuvenation (batched sweep) leaves the constrained-y posterior
+    over slope invariant (statistically)."""
+    n = 4096
+    cm = line_choicemap(4, slope=1.0)
+    st = g.pf_initialize(jr.key(5), line_model, (4,), cm, n)
+    sel = g.select("slope")
+    st2 = g.pf_rejuvenate(jr.key(6), st, g.mh, (sel,), n_iters=3)
+    w = np.asarray(g.get_norm_weights(st), np.float64)
+    s1 = np.asarray(g.batched_choice(st, "slope"))
+    s2 = np.asarray(g.batched_choice(st2, "slope"))
+    for s in range(-2, 3):
+        p1 = w[s1 == s].sum()
+        p2 = w[s2 == s].sum()
+        assert abs(p1 - p2) < 0.06, (s, p1, p2)
+    # weights untouched by move-accept
+    np.testing.assert_array_equal(np.asarray(st.log_weights),
+                                  np.asarray(st2.log_weights))
+
+
+def test_batched_lml_unbiased_short():
+    """E[exp(LML)] = Z through the fully batched filter (resample in the
+    loop), vs the exact Kalman evidence."""
+    from genparticlefilters_tpu.models.linear_gaussian import (
+        LGParams, kalman_filter, lgssm_particle_filter, synthesize_lg_data)
+    p = LGParams(a=0.6, q=0.7, r=0.6)
+    T = 4
+    y = synthesize_lg_data(jr.key(1), T, p)
+    _, _, lml_exact = kalman_filter(y, p)
+    f = jax.jit(lgssm_particle_filter, static_argnums=(2, 3, 5))
+    z = []
+    for s in range(40):
+        st = f(jr.key(200 + s), y, 512, T, p, "systematic")
+        z.append(math.exp(float(g.log_ml_estimate(st)) - float(lml_exact)))
+    z = np.asarray(z)
+    assert abs(z.mean() - 1.0) < 4 * z.std() / math.sqrt(len(z)) + 0.05
