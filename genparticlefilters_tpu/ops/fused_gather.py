@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_transposed_clustered", "resample_gather_transposed",
-           "gather_rows_clustered", "resample_gather_rows"]
+           "gather_rows_clustered", "resample_gather_rows",
+           "resample_gather_rows_u"]
 
 _BL = 512   # output lanes per grid step (lane-major kernels)
 _SL = 512   # source lanes per DMA chunk (lane-major kernels)
@@ -95,6 +96,62 @@ def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
         fp = vals[rfp, :][None, :]                # [1, S]
         fc = vals[rfp + 1, :][None, :]
         onehot = jnp.logical_and(fp <= j_col, j_col < fc).astype(jnp.int8)
+        _lane_kernel_body(vals, onehot, (acc0, acc1, acc2, acc3))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    d_out = out_ref.shape[0]
+    out = jnp.zeros((d_out, _BL), jnp.int32)
+    for shift, acc in ((0, acc0), (8, acc1), (16, acc2), (24, acc3)):
+        byte = jax.lax.bitwise_and(acc[:d_out, :] + 128, 0xFF)
+        out = out | jax.lax.shift_left(byte, shift)
+    out_ref[:] = out
+
+
+def _kernel_stairs_lanes_u(bases_ref, u_ref, src_ref, out_ref,
+                           chunk_ref, acc0, acc1, acc2, acc3, sem):
+    """Float-bracket variant of :func:`_kernel_stairs_lanes` for multinomial
+    resampling: the two appended sublane rows carry the *cumulative weights*
+    ``(c_prev, c]`` per source particle (f32 bitcast into the int32 matrix)
+    and each output slot j carries its sorted uniform ``u_j`` (block-sliced
+    VMEM operand). The one-hot select is the inverse-CDF condition
+    ``c_prev[s] < u_j <= c[s]`` directly — no merged count array F ever
+    exists, so the XLA-side scatter that dominated the sort-free multinomial
+    formulation (measured 1.07 ms of the 1.87 ms total at N=100K) is gone
+    entirely."""
+    i = pl.program_id(0)
+    lo = bases_ref[i, 0]
+    hi = bases_ref[i, 1]
+    lo_al = (lo // _SL) * _SL
+    n_chunks = (hi - lo_al) // _SL + 1
+    r8 = chunk_ref.shape[1]
+    rcp = r8 - 2  # c_prev row; c row is r8-1
+
+    u_col = u_ref[...].astype(jnp.float32)        # [B, 1]
+
+    for acc in (acc0, acc1, acc2, acc3):
+        acc[:] = jnp.zeros_like(acc)
+
+    def dma(c, buf):
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(lo_al + c * _SL, _SL)],
+            chunk_ref.at[buf], sem.at[buf])
+
+    dma(0, 0).start()
+
+    def chunk_body(c, _):
+        cur = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1, 1 - cur).start()
+
+        dma(c, cur).wait()
+        vals = chunk_ref[cur]                     # [R, S]
+        cp = jax.lax.bitcast_convert_type(vals[rcp, :], jnp.float32)[None, :]
+        cc = jax.lax.bitcast_convert_type(vals[rcp + 1, :],
+                                          jnp.float32)[None, :]
+        onehot = jnp.logical_and(cp < u_col, u_col <= cc).astype(jnp.int8)
         _lane_kernel_body(vals, onehot, (acc0, acc1, acc2, acc3))
         return 0
 
@@ -217,6 +274,85 @@ def resample_gather_rows(big, F, has_index_row: bool = False,
         ),
         interpret=interpret,
     )(bases, mat)
+    parents = out[d1 - 1, :n]
+    return out[:d1 - 1, :n], parents
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "has_index_row"))
+def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
+                           interpret: bool = False):
+    """Fused multinomial resampling gather from float brackets: output slot
+    j takes parent ``p_j`` = the unique s with ``c[s-1] < u[j] <= c[s]``
+    (inverse CDF of the normalized cumulative weights ``c`` [N] f32,
+    ``c[-1] == 1``, at the ascending sorted uniforms ``u`` [N] f32 in
+    (0, 1)). Returns ``(out [D, N] lane-dense, parents [N])``.
+
+    Equivalent to ``resample_gather_rows(big, F)`` with
+    ``F_i = #{j : u_j <= c_i}`` — but F is never materialized, eliminating
+    the bitonic merge AND the XLA scatter that extracted F from it. Exact
+    tie semantics: ``u == c`` lands on the first s with ``c[s] >= u``,
+    matching the merge formulation's side='right' counting bit-for-bit.
+    Requires D+1 <= 1022 (callers route larger packs through the F path).
+    """
+    d_in, n = big.shape
+    assert big.dtype == jnp.int32
+    if not has_index_row:
+        big = jnp.concatenate([big, jnp.arange(n, dtype=jnp.int32)[None, :]],
+                              axis=0)
+    d1 = big.shape[0]
+    assert d1 <= 1022, d1
+    r8 = -(-(d1 + 2) // 8) * 8
+    m_pad = -(-n // _BL) * _BL
+    n_pad = m_pad + 2 * _SL
+    c = c.astype(jnp.float32)
+    c_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), c[:-1]])
+    asi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    mat = jnp.concatenate([
+        big,
+        jnp.zeros((r8 - d1 - 2, n), jnp.int32),
+        asi(c_prev)[None, :], asi(c)[None, :]], axis=0)
+    # padded source lanes get an empty bracket (2, 2] -> never match any u<1
+    mat = _pad_lanes(mat, n_pad, fill=0)
+    mat = mat.at[r8 - 2:, n:].set(asi(jnp.float32(2.0)))
+
+    up = u.astype(jnp.float32)
+    if m_pad != n:
+        # padded output slots match no bracket (u=3 > every c) -> zeros out
+        up = jnp.concatenate([up, jnp.full((m_pad - n,), 3.0, jnp.float32)])
+
+    # per-block source bounds: parent of output j is #{c < u_j} (clamped)
+    nb = m_pad // _BL
+    grid = jnp.arange(nb, dtype=jnp.int32) * _BL
+    qlo = up[grid]
+    qhi = up[jnp.minimum(grid + _BL - 1, n - 1)]
+    ss_lo = jnp.searchsorted(c, qlo, side="left").astype(jnp.int32)
+    ss_hi = jnp.searchsorted(c, qhi, side="left").astype(jnp.int32)
+    bases = jnp.stack([jnp.minimum(ss_lo, n - 1),
+                       jnp.minimum(ss_hi, n - 1)], axis=1)
+
+    out = pl.pallas_call(
+        _kernel_stairs_lanes_u,
+        out_shape=jax.ShapeDtypeStruct((r8, m_pad), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((_BL, 1), lambda i, bases: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=pl.BlockSpec((r8, _BL), lambda i, bases: (0, i)),
+            scratch_shapes=[
+                pltpu.VMEM((2, r8, _SL), jnp.int32),
+                pltpu.VMEM((r8, _BL), jnp.int32),
+                pltpu.VMEM((r8, _BL), jnp.int32),
+                pltpu.VMEM((r8, _BL), jnp.int32),
+                pltpu.VMEM((r8, _BL), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        interpret=interpret,
+    )(bases, up.reshape(m_pad, 1), mat)
     parents = out[d1 - 1, :n]
     return out[:d1 - 1, :n], parents
 

@@ -33,7 +33,7 @@ __all__ = ["pf_resample", "pf_multinomial_resample", "pf_residual_resample",
            "pf_stratified_resample", "pf_systematic_resample",
            "multinomial_parents", "residual_parents", "stratified_parents",
            "systematic_parents", "stratified_F", "systematic_F",
-           "multinomial_F", "residual_F"]
+           "multinomial_F", "residual_F", "multinomial_cu"]
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +173,22 @@ def _merge_count(c, u):
     F_at_slot = i - r                        # u's before this c
     return jnp.zeros((n,), jnp.int32).at[
         jnp.where(tags == 1, r, n)].set(F_at_slot, mode="drop")
+
+
+def multinomial_cu(key, weights, n_out: int | None = None):
+    """Float brackets for the fused multinomial gather: normalized
+    cumulative weights ``c`` [N] (``c[-1] == 1``) and ascending sorted
+    uniforms ``u`` [n_out] from exponential spacings. Output slot j's
+    parent is the unique s with ``c_{s-1} < u_j <= c_s`` — the inverse-CDF
+    condition evaluated *inside* the staircase gather kernel
+    (ops/fused_gather.resample_gather_rows_u), so neither the merged count
+    array F nor any XLA scatter is ever built (the scatter alone measured
+    1.07 ms of multinomial's 1.87 ms at N=100K)."""
+    n_out = weights.shape[0] if n_out is None else n_out
+    ce = _sorted_uniforms_cum(key, n_out)
+    u = ce[:-1] / ce[-1]
+    c = jnp.cumsum(weights)
+    return c / jnp.maximum(c[-1], 1e-37), u
 
 
 def multinomial_F(key, weights, n_out: int | None = None):
@@ -408,6 +424,30 @@ def _gather_traces_from_F(traces, F):
     return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
 
 
+def _gather_traces_from_cu(traces, c, u):
+    """Fused multinomial resampling gather from float brackets (see
+    ``multinomial_cu``): parent construction and the ancestry gather run in
+    one Pallas pass with the inverse-CDF one-hot built in-kernel. Falls back
+    to the merge-count F path for very wide packs (>1022 rows). Returns
+    ``(new_traces, parents)``."""
+    leaves, axes, treedef = _flatten_with_axes(traces)
+    n = u.shape[0]
+    rows, meta = _pack_rows(leaves, axes)
+    packed = [r for r in rows if r is not None]
+    packed.append(jnp.arange(n, dtype=jnp.int32)[None, :])  # -> parents
+    big = jax.lax.optimization_barrier(jnp.concatenate(packed, axis=0))
+    if big.shape[0] > 1022:
+        F = _pinned_F(_merge_count(c, u), n)
+        from ..ops.fused_gather import resample_gather_rows
+        bigT, parents = resample_gather_rows(big, F, has_index_row=True)
+    else:
+        from ..ops.fused_gather import resample_gather_rows_u
+        bigT, parents = resample_gather_rows_u(big, c, u,
+                                               has_index_row=True)
+    out_leaves = _unpack_rows(bigT, leaves, meta, parents, n)
+    return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
+
+
 def _new_weights_full(n, log_weights, log_priorities, parents, custom):
     """Post-resample weights, full state (ref: src/resample.jl:190-202)."""
     if not custom:
@@ -427,7 +467,7 @@ def _new_weights_sub(n, log_weights, log_priorities, parents, custom):
 
 
 def _resample_impl(key, state, parent_fn, priority_fn, check,
-                   clustered: bool = False, F_fn=None):
+                   clustered: bool = False, F_fn=None, cu_fn=None):
     is_sub = isinstance(state, ParticleFilterSubState)
     log_weights = state.log_weights
     n = state.n_particles
@@ -437,11 +477,16 @@ def _resample_impl(key, state, parent_fn, priority_fn, check,
     apply_check(invalid, check)
 
     from .. import config as _config
-    use_fused = (F_fn is not None and not is_sub
+    use_fused = ((F_fn is not None or cu_fn is not None) and not is_sub
                  and _config.clustered_gather
                  and jax.devices()[0].platform == "tpu"
                  and not _maybe_partitioned(log_weights))
-    if use_fused:
+    if use_fused and cu_fn is not None:
+        # single Pallas pass with in-kernel inverse-CDF brackets: no merged
+        # count array, no XLA scatter anywhere
+        new_traces, parents = _gather_traces_from_cu(state.traces,
+                                                     *cu_fn(key, weights))
+    elif use_fused:
         # single Pallas pass: parents from cumulative hit counts + ancestry
         # gather + leaf unpack (no XLA scatter, no post-hoc unpack)
         new_traces, parents = _gather_traces_from_F(state.traces,
@@ -468,7 +513,7 @@ def _resample_impl(key, state, parent_fn, priority_fn, check,
 def pf_multinomial_resample(key, state, priority_fn=None, check="warn"):
     return _resample_impl(
         key, state, lambda k, w, lp: multinomial_parents(k, w),
-        priority_fn, check, F_fn=multinomial_F)
+        priority_fn, check, F_fn=multinomial_F, cu_fn=multinomial_cu)
 
 
 def pf_residual_resample(key, state, priority_fn=None, check="warn"):

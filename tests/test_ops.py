@@ -169,3 +169,27 @@ def test_bitonic_merge_kernel_interpret():
         z = jnp.asarray(np.concatenate([a, b[::-1]]), jnp.int32)  # bitonic
         got = np.asarray(bitonic_merge_sorted(z, interpret=True))
         np.testing.assert_array_equal(got, np.sort(np.concatenate([a, b])))
+
+
+@pytest.mark.parametrize("n,d", [(2048, 53), (1000, 21), (513, 40)])
+def test_lane_resample_gather_u_interpret(n, d):
+    # float-bracket (inverse-CDF) multinomial kernel vs the merge-count
+    # F formulation: same (c, u) must give identical parents and gather
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows_u
+    from genparticlefilters_tpu.smc.resample import (
+        _F_to_parents, _merge_count, _pinned_F)
+    big = jr.randint(jr.key(0), (d, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    w = jr.dirichlet(jr.key(n), jnp.ones(n) * 0.5)
+    # a few zero-weight particles (duplicate cumsum values)
+    w = w.at[5:9].set(0.0)
+    w = w / w.sum()
+    c = jnp.cumsum(w)
+    c = c / c[-1]
+    ce = jnp.cumsum(jr.exponential(jr.key(n + 1), (n + 1,), jnp.float32))
+    u = ce[:-1] / ce[-1]
+    parents_ref = _F_to_parents(_pinned_F(_merge_count(c, u), n), n)
+    out, parents = resample_gather_rows_u(big, c, u, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.asarray(parents_ref))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(big, parents_ref, axis=1)))
