@@ -33,7 +33,8 @@ __all__ = ["pf_resample", "pf_multinomial_resample", "pf_residual_resample",
            "pf_stratified_resample", "pf_systematic_resample",
            "multinomial_parents", "residual_parents", "stratified_parents",
            "systematic_parents", "stratified_F", "systematic_F",
-           "multinomial_F", "residual_F", "multinomial_cu"]
+           "multinomial_F", "residual_F", "multinomial_cu",
+           "residual_F_fused"]
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +228,38 @@ def residual_F(key, weights, n_out: int | None = None):
     u = jnp.where(j < n_res, jnp.minimum(ce[:-1] / denom, 1.5), 1.75)
     F_res = _merge_count(rcum / jnp.maximum(rcum[-1], 1e-37), u)
     return _pinned_F(jnp.cumsum(det) + F_res, n_out)
+
+
+def residual_F_fused(key, weights, n_out: int | None = None,
+                     interpret: bool = False):
+    """Residual cumulative hit counts with NO merge and NO scatter, for the
+    fused TPU path: ``F = cumsum(det) + G`` where the residual-draw counts
+    ``G_i = #{u < rc_i}`` come from one pass of the float-bracket staircase
+    kernel with roles swapped — sources are the sorted residual uniforms,
+    queries are the normalized residual cumsum, and the kernel's gathered
+    row-index output IS G. Boundary ties (an f32 uniform exactly equal to a
+    cumsum value) count to the right bin here vs the left bin in
+    ``residual_F`` — both are valid realizations of the same continuous
+    law, so the offspring-count distribution is unchanged."""
+    n_out = weights.shape[0] if n_out is None else n_out
+    scaled = n_out * weights
+    det = jnp.floor(scaled).astype(jnp.int32)
+    n_res = n_out - jnp.sum(det)
+    resid = scaled - det.astype(weights.dtype)
+    rcum = jnp.cumsum(resid)
+    rc = rcum / jnp.maximum(rcum[-1], 1e-37)
+    # a query of exactly 0.0 (zero-residual prefix) matches no bracket at
+    # all (the condition is strictly c_prev < q); nudge it to the smallest
+    # positive value so it lands in bracket 0 with G = 0
+    rc = jnp.maximum(rc, 1e-30)
+    ce = _sorted_uniforms_cum(key, n_out)
+    denom = ce[n_res]
+    j = jnp.arange(n_out, dtype=jnp.int32)
+    u = jnp.where(j < n_res, jnp.minimum(ce[:-1] / denom, 1.5), 1.75)
+    from ..ops.fused_gather import resample_gather_rows_u
+    _, G = resample_gather_rows_u(jnp.zeros((0, n_out), jnp.int32), u, rc,
+                                  interpret=interpret)
+    return _pinned_F(jnp.cumsum(det) + G, n_out)
 
 
 def _F_to_parents(F, n_out: int):
@@ -519,7 +552,7 @@ def pf_multinomial_resample(key, state, priority_fn=None, check="warn"):
 def pf_residual_resample(key, state, priority_fn=None, check="warn"):
     return _resample_impl(
         key, state, lambda k, w, lp: residual_parents(k, w),
-        priority_fn, check, F_fn=residual_F)
+        priority_fn, check, F_fn=residual_F_fused)
 
 
 def pf_stratified_resample(key, state, priority_fn=None, check="warn",

@@ -23,13 +23,15 @@ from genparticlefilters_tpu.models.object_motion import (
     make_object_motion, init_state, obs_at_t, synthesize_data)
 from genparticlefilters_tpu.smc import pf_initialize, pf_update
 from genparticlefilters_tpu.smc.resample import (
-    _resample_impl, multinomial_parents, multinomial_F, multinomial_cu)
+    _resample_impl, multinomial_parents, residual_parents,
+    multinomial_F, multinomial_cu, residual_F, residual_F_fused)
 from genparticlefilters_tpu.core import Extend, NoChange
 
 N, T = 100_000, 10
 
 
-def make_filter(cu):
+def make_filter(cu, parent_fn=multinomial_parents, F_fn=multinomial_F,
+                cu_fn=multinomial_cu):
     y_obs, _ = synthesize_data(jr.key(42), T, 5)
     model = make_object_motion(T)
     x0 = init_state()
@@ -42,9 +44,9 @@ def make_filter(cu):
             kt = jr.fold_in(kloop, t)
             kr, _, ku = jr.split(kt, 3)
             state = _resample_impl(
-                kr, state, lambda k, w, lp: multinomial_parents(k, w),
-                None, False, F_fn=multinomial_F,
-                cu_fn=multinomial_cu if cu else None)
+                kr, state, lambda k, w, lp: parent_fn(k, w),
+                None, False, F_fn=F_fn,
+                cu_fn=cu_fn if cu else None)
             state = pf_update(ku, state, (t + 1, x0),
                               (Extend(1), NoChange()),
                               obs_at_t(y_obs, t), check=False)
@@ -83,6 +85,11 @@ def main():
     a = bench("multinomial F (merge+scatter)", make_filter(False))
     b = bench("multinomial cu (float bracket)", make_filter(True))
     print(f"per-resample delta: {(a-b)/(T-1)*1e3:.3f} ms", flush=True)
+    c = bench("residual F (merge+scatter)",
+              make_filter(False, residual_parents, residual_F, None))
+    d = bench("residual F_fused (role-swap)",
+              make_filter(False, residual_parents, residual_F_fused, None))
+    print(f"per-resample delta: {(c-d)/(T-1)*1e3:.3f} ms", flush=True)
     print("DONE", flush=True)
 
 

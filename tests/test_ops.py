@@ -193,3 +193,17 @@ def test_lane_resample_gather_u_interpret(n, d):
                                   np.asarray(parents_ref))
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(jnp.take(big, parents_ref, axis=1)))
+
+
+@pytest.mark.parametrize("n", [2048, 777])
+def test_residual_F_fused_interpret(n):
+    # role-swapped bracket kernel (G = parents of rc among sorted uniforms)
+    # must reproduce the merge-count residual_F exactly (same key -> same
+    # draws; random case is tie-free)
+    from genparticlefilters_tpu.smc.resample import residual_F, residual_F_fused
+    w = jr.dirichlet(jr.key(n), jnp.ones(n) * 0.6)
+    w = w.at[3:6].set(0.0)  # zero-weight prefix-ish particles
+    w = w / w.sum()
+    F_ref = residual_F(jr.key(1), w)
+    F_new = residual_F_fused(jr.key(1), w, interpret=True)
+    np.testing.assert_array_equal(np.asarray(F_new), np.asarray(F_ref))
