@@ -217,39 +217,43 @@ def _pad_lanes(mat, n_pad, fill=0):
     return jnp.pad(mat, ((0, 0), (0, n_pad - n)), constant_values=fill)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "has_index_row"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "has_index_row", "n_out"))
 def resample_gather_rows(big, F, has_index_row: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False, n_out: int | None = None):
     """Fused resampling gather for a lane-dense [D, N] packed matrix
     (particles on lanes — the native time-major trace packing) from
-    cumulative hit counts ``F`` (int32 [N], nondecreasing, ``F[-1] == N``;
-    output slot j takes parent ``p_j = #{i : F_i <= j}``). Returns
-    ``(out [D, N] lane-dense, parents [N])`` with no transposes on either
-    side: the staircase one-hot is built in-kernel from two appended
+    cumulative hit counts ``F`` (int32 [N], nondecreasing, ``F[-1] ==
+    n_out``; output slot j takes parent ``p_j = #{i : F_i <= j}``). Returns
+    ``(out [D, n_out] lane-dense, parents [n_out])`` with no transposes on
+    either side: the staircase one-hot is built in-kernel from two appended
     bracket sublane rows, and the parents come from a gathered row-index
-    row. Falls back to the [N, D] row-oriented kernel (via one transpose)
-    when D exceeds the lane-kernel VMEM budget."""
+    row. ``n_out`` defaults to N (resampling); pass a different static
+    value for resizing. Falls back to the [N, D] row-oriented kernel (via
+    one transpose) when D exceeds the lane-kernel VMEM budget."""
     d_in, n = big.shape
+    m = n if n_out is None else n_out
     assert big.dtype == jnp.int32
     if not has_index_row:
         big = jnp.concatenate([big, jnp.arange(n, dtype=jnp.int32)[None, :]],
                               axis=0)
     d1 = big.shape[0]          # data rows + row-index row
     if d1 > 1022:              # acc VMEM cap; route through the row kernel
+        assert m == n, "resize with >1022 packed rows is unsupported"
         outT, parents = resample_gather_transposed(
             big.T, F, interpret=interpret, has_index_col=True)
         return outT[:d1 - 1], parents
     r8 = -(-(d1 + 2) // 8) * 8
-    m_pad = -(-n // _BL) * _BL
-    n_pad = m_pad + 2 * _SL
+    m_pad = -(-m // _BL) * _BL
+    n_pad = -(-n // _SL) * _SL + 2 * _SL
     f_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), F[:-1]])
     mat = jnp.concatenate([
         big,
         jnp.zeros((r8 - d1 - 2, n), jnp.int32),
         f_prev[None, :], F[None, :]], axis=0)
-    # padded source lanes get an empty bracket [n, n) -> never match
+    # padded source lanes get an empty bracket [m, m) -> never match
     mat = _pad_lanes(mat, n_pad, fill=0)
-    mat = mat.at[r8 - 2:, n:].set(n)
+    mat = mat.at[r8 - 2:, n:].set(m)
 
     grid = jnp.arange(m_pad // _BL + 1, dtype=jnp.int32) * _BL
     ss = jnp.searchsorted(F, grid, side="right").astype(jnp.int32)
@@ -274,8 +278,8 @@ def resample_gather_rows(big, F, has_index_row: bool = False,
         ),
         interpret=interpret,
     )(bases, mat)
-    parents = out[d1 - 1, :n]
-    return out[:d1 - 1, :n], parents
+    parents = out[d1 - 1, :m]
+    return out[:d1 - 1, :m], parents
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "has_index_row"))
@@ -292,9 +296,12 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
     the bitonic merge AND the XLA scatter that extracted F from it. Exact
     tie semantics: ``u == c`` lands on the first s with ``c[s] >= u``,
     matching the merge formulation's side='right' counting bit-for-bit.
-    Requires D+1 <= 1022 (callers route larger packs through the F path).
+    The output count ``m = len(u)`` may differ from the source count N
+    (resizing). Requires D+1 <= 1022 (callers route larger packs through
+    the F path).
     """
     d_in, n = big.shape
+    m = u.shape[0]
     assert big.dtype == jnp.int32
     if not has_index_row:
         big = jnp.concatenate([big, jnp.arange(n, dtype=jnp.int32)[None, :]],
@@ -302,8 +309,8 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
     d1 = big.shape[0]
     assert d1 <= 1022, d1
     r8 = -(-(d1 + 2) // 8) * 8
-    m_pad = -(-n // _BL) * _BL
-    n_pad = m_pad + 2 * _SL
+    m_pad = -(-m // _BL) * _BL
+    n_pad = -(-n // _SL) * _SL + 2 * _SL
     c = c.astype(jnp.float32)
     c_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), c[:-1]])
     asi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -316,15 +323,15 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
     mat = mat.at[r8 - 2:, n:].set(asi(jnp.float32(2.0)))
 
     up = u.astype(jnp.float32)
-    if m_pad != n:
+    if m_pad != m:
         # padded output slots match no bracket (u=3 > every c) -> zeros out
-        up = jnp.concatenate([up, jnp.full((m_pad - n,), 3.0, jnp.float32)])
+        up = jnp.concatenate([up, jnp.full((m_pad - m,), 3.0, jnp.float32)])
 
     # per-block source bounds: parent of output j is #{c < u_j} (clamped)
     nb = m_pad // _BL
     grid = jnp.arange(nb, dtype=jnp.int32) * _BL
     qlo = up[grid]
-    qhi = up[jnp.minimum(grid + _BL - 1, n - 1)]
+    qhi = up[jnp.minimum(grid + _BL - 1, m - 1)]
     ss_lo = jnp.searchsorted(c, qlo, side="left").astype(jnp.int32)
     ss_hi = jnp.searchsorted(c, qhi, side="left").astype(jnp.int32)
     bases = jnp.stack([jnp.minimum(ss_lo, n - 1),
@@ -353,8 +360,8 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
         ),
         interpret=interpret,
     )(bases, up.reshape(m_pad, 1), mat)
-    parents = out[d1 - 1, :n]
-    return out[:d1 - 1, :n], parents
+    parents = out[d1 - 1, :m]
+    return out[:d1 - 1, :m], parents
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

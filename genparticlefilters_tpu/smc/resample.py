@@ -440,20 +440,30 @@ def _gather_traces(traces, parents, clustered: bool = False):
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
 
 
-def _gather_traces_from_F(traces, F):
+def _gather_traces_from_F(traces, F, n_out: int | None = None):
     """Fused resampling gather directly from cumulative hit counts: parent
     construction (replacing the XLA scatter in ``counts_to_parents``), the
     ancestry gather, and the per-leaf unpack all run in one Pallas kernel
-    pass (ops/fused_gather.py). Returns ``(new_traces, parents)``."""
+    pass (ops/fused_gather.py). ``n_out`` (static) defaults to the source
+    count; pass a different value for resizing. Returns
+    ``(new_traces, parents)``."""
     leaves, axes, treedef = _flatten_with_axes(traces)
-    n = F.shape[0]
+    n_src = F.shape[0]
+    m = n_src if n_out is None else n_out
     rows, meta = _pack_rows(leaves, axes)
     packed = [r for r in rows if r is not None]
-    packed.append(jnp.arange(n, dtype=jnp.int32)[None, :])  # -> parents
+    packed.append(jnp.arange(n_src, dtype=jnp.int32)[None, :])  # -> parents
     big = jax.lax.optimization_barrier(jnp.concatenate(packed, axis=0))
-    from ..ops.fused_gather import resample_gather_rows
-    bigT, parents = resample_gather_rows(big, F, has_index_row=True)
-    out_leaves = _unpack_rows(bigT, leaves, meta, parents, n)
+    if big.shape[0] > 1022 and m != n_src:
+        # wide resize packs: clustered parents + one packed XLA gather
+        parents = _F_to_parents(F, m)
+        bigT = jax.lax.optimization_barrier(
+            jnp.take(big, parents, axis=1))[:-1]
+    else:
+        from ..ops.fused_gather import resample_gather_rows
+        bigT, parents = resample_gather_rows(big, F, has_index_row=True,
+                                             n_out=n_out)
+    out_leaves = _unpack_rows(bigT, leaves, meta, parents, m)
     return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
 
 
@@ -464,20 +474,26 @@ def _gather_traces_from_cu(traces, c, u):
     to the merge-count F path for very wide packs (>1022 rows). Returns
     ``(new_traces, parents)``."""
     leaves, axes, treedef = _flatten_with_axes(traces)
-    n = u.shape[0]
+    n_src = c.shape[0]
+    m = u.shape[0]
     rows, meta = _pack_rows(leaves, axes)
     packed = [r for r in rows if r is not None]
-    packed.append(jnp.arange(n, dtype=jnp.int32)[None, :])  # -> parents
+    packed.append(jnp.arange(n_src, dtype=jnp.int32)[None, :])  # -> parents
     big = jax.lax.optimization_barrier(jnp.concatenate(packed, axis=0))
     if big.shape[0] > 1022:
-        F = _pinned_F(_merge_count(c, u), n)
-        from ..ops.fused_gather import resample_gather_rows
-        bigT, parents = resample_gather_rows(big, F, has_index_row=True)
+        F = _pinned_F(_merge_count(c, u), m)
+        if m != n_src:
+            parents = _F_to_parents(F, m)
+            bigT = jax.lax.optimization_barrier(
+                jnp.take(big, parents, axis=1))[:-1]
+        else:
+            from ..ops.fused_gather import resample_gather_rows
+            bigT, parents = resample_gather_rows(big, F, has_index_row=True)
     else:
         from ..ops.fused_gather import resample_gather_rows_u
         bigT, parents = resample_gather_rows_u(big, c, u,
                                                has_index_row=True)
-    out_leaves = _unpack_rows(bigT, leaves, meta, parents, n)
+    out_leaves = _unpack_rows(bigT, leaves, meta, parents, m)
     return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
 
 

@@ -54,15 +54,32 @@ def _resize_weights(n_new, log_weights, log_priorities, parents, custom):
     return lw + (jnp.log(float(n_new)) - logsumexp(lw))
 
 
-def _resize_impl(key, state, n_particles, parent_fn, priority_fn, check):
+def _resize_impl(key, state, n_particles, parent_fn, priority_fn, check,
+                 cu_fn=None, F_fn=None):
+    import jax as _jax
+    from .. import config as _config
+    from .resample import (_maybe_partitioned, _gather_traces_from_cu,
+                           _gather_traces_from_F)
     custom = priority_fn is not None
     log_priorities = (priority_fn(state.log_weights) if custom
                       else state.log_weights)
     weights, invalid = safe_softmax(log_priorities)
     apply_check(invalid, check)
     new_lml = _fold_lml(state)
-    parents = parent_fn(key, weights, n_particles)
-    new_traces = _gather_traces(state.traces, parents)
+    use_fused = ((cu_fn is not None or F_fn is not None)
+                 and _config.clustered_gather
+                 and _jax.devices()[0].platform == "tpu"
+                 and not _maybe_partitioned(state.log_weights))
+    if use_fused and cu_fn is not None:
+        new_traces, parents = _gather_traces_from_cu(
+            state.traces, *cu_fn(key, weights, n_particles))
+    elif use_fused:
+        new_traces, parents = _gather_traces_from_F(
+            state.traces, F_fn(key, weights, n_particles),
+            n_out=n_particles)
+    else:
+        parents = parent_fn(key, weights, n_particles)
+        new_traces = _gather_traces(state.traces, parents)
     new_lw = _resize_weights(n_particles, state.log_weights, log_priorities,
                              parents, custom)
     return ParticleFilterState(new_traces, new_lw, new_lml, parents)
@@ -71,15 +88,17 @@ def _resize_impl(key, state, n_particles, parent_fn, priority_fn, check):
 def pf_multinomial_resize(key, state, n_particles: int, priority_fn=None,
                           check="warn"):
     """(ref: src/resize.jl:46-67)"""
+    from .resample import multinomial_cu
     return _resize_impl(key, state, n_particles, multinomial_parents,
-                        priority_fn, check)
+                        priority_fn, check, cu_fn=multinomial_cu)
 
 
 def pf_residual_resize(key, state, n_particles: int, priority_fn=None,
                        check="warn"):
     """(ref: src/resize.jl:87-124)"""
+    from .resample import residual_F_fused
     return _resize_impl(key, state, n_particles, residual_parents,
-                        priority_fn, check)
+                        priority_fn, check, F_fn=residual_F_fused)
 
 
 def _log_inv_w_threshold(log_weights, n_particles: int):

@@ -207,3 +207,31 @@ def test_residual_F_fused_interpret(n):
     F_ref = residual_F(jr.key(1), w)
     F_new = residual_F_fused(jr.key(1), w, interpret=True)
     np.testing.assert_array_equal(np.asarray(F_new), np.asarray(F_ref))
+
+
+@pytest.mark.parametrize("n,m", [(2048, 1024), (1000, 2000), (513, 513)])
+def test_lane_resample_gather_resize_interpret(n, m):
+    # n_out != n (resizing): F path and float-bracket path vs reference
+    from genparticlefilters_tpu.ops.fused_gather import (
+        resample_gather_rows, resample_gather_rows_u)
+    from genparticlefilters_tpu.smc.resample import (
+        _F_to_parents, _merge_count, _pinned_F)
+    d = 23
+    big = jr.randint(jr.key(0), (d, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    w = jr.dirichlet(jr.key(n + m), jnp.ones(n) * 0.5)
+    c = jnp.cumsum(w)
+    c = c / c[-1]
+    ce = jnp.cumsum(jr.exponential(jr.key(3), (m + 1,), jnp.float32))
+    u = ce[:-1] / ce[-1]
+    F = _pinned_F(_merge_count(c, u), m)
+    parents_ref = _F_to_parents(F, m)
+    out, parents = resample_gather_rows(big, F, n_out=m, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.asarray(parents_ref))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(big, parents_ref, axis=1)))
+    out2, parents2 = resample_gather_rows_u(big, c, u, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents2),
+                                  np.asarray(parents_ref))
+    np.testing.assert_array_equal(
+        np.asarray(out2), np.asarray(jnp.take(big, parents_ref, axis=1)))
