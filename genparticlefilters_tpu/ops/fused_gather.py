@@ -321,8 +321,19 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
     # padded source lanes get an empty bracket (2, 2] -> never match any u<1
     mat = _pad_lanes(mat, n_pad, fill=0)
     mat = mat.at[r8 - 2:, n:].set(asi(jnp.float32(2.0)))
+    # catch-all last bracket: widen source n-1's upper edge from c[-1] to
+    # 2.0 so every real query u in (c_prev[n-1], 2.0] matches SOME bracket
+    # even if roundoff (or a degenerate caller-supplied c) leaves
+    # c[-1] < max(u) — otherwise a matchless query emits the un-debiased
+    # 0x80808080 byte pattern as both data and parent. Brackets stay
+    # disjoint (only the last upper edge moves), and the 3.0 padding
+    # queries still match nothing (they are sliced off).
+    mat = mat.at[r8 - 1, n - 1].set(asi(jnp.float32(2.0)))
 
-    up = u.astype(jnp.float32)
+    # enforce the documented u-in-(0,1] contract: an exact-zero query would
+    # match no bracket (condition is strictly c_prev < u) even with the
+    # catch-all edge below, emitting corrupt 0x80808080 output
+    up = jnp.maximum(u.astype(jnp.float32), 1e-37)
     if m_pad != m:
         # padded output slots match no bracket (u=3 > every c) -> zeros out
         up = jnp.concatenate([up, jnp.full((m_pad - m,), 3.0, jnp.float32)])

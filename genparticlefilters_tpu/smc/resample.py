@@ -187,7 +187,11 @@ def multinomial_cu(key, weights, n_out: int | None = None):
     1.07 ms of multinomial's 1.87 ms at N=100K)."""
     n_out = weights.shape[0] if n_out is None else n_out
     ce = _sorted_uniforms_cum(key, n_out)
-    u = ce[:-1] / ce[-1]
+    # u[0] == 0.0 exactly (first exponential spacing underflows, p ~ 2^-23
+    # per call) would match NO bracket — the kernel condition is strictly
+    # c_prev < u — silently corrupting output slot 0; nudge it positive,
+    # mirroring residual_F_fused's rc clamp
+    u = jnp.maximum(ce[:-1] / ce[-1], 1e-37)
     c = jnp.cumsum(weights)
     return c / jnp.maximum(c[-1], 1e-37), u
 

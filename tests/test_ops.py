@@ -209,6 +209,44 @@ def test_residual_F_fused_interpret(n):
     np.testing.assert_array_equal(np.asarray(F_new), np.asarray(F_ref))
 
 
+def test_lane_resample_gather_u_zero_query():
+    # ADVICE r3: u[0] == 0.0 exactly (p ~ 2^-23 underflow in the first
+    # exponential spacing) must NOT emit the corrupt 0x80808080 pattern;
+    # the wrapper clamps it to 1e-37, which lands in the first
+    # positive-weight bracket exactly like the multinomial_cu guard
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows_u
+    n, d = 512, 7
+    big = jr.randint(jr.key(2), (d, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    w = jr.dirichlet(jr.key(5), jnp.ones(n))
+    c = jnp.cumsum(w)
+    c = c / c[-1]
+    u = jnp.sort(jr.uniform(jr.key(6), (n,), jnp.float32))
+    u = u.at[0].set(0.0)
+    out, parents = resample_gather_rows_u(big, c, u, interpret=True)
+    assert int(parents[0]) == 0  # first positive-weight particle
+    np.testing.assert_array_equal(np.asarray(out[:, 0]),
+                                  np.asarray(big[:, 0]))
+
+
+def test_lane_resample_gather_u_catchall_bracket():
+    # ADVICE r3: a degenerate direct-caller c with c[-1] < max(u) must fall
+    # into the widened last bracket (parent n-1), never corrupt output
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows_u
+    n, d = 512, 5
+    big = jr.randint(jr.key(3), (d, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    w = jr.dirichlet(jr.key(7), jnp.ones(n))
+    c = jnp.cumsum(w)
+    c = (c / c[-1]) * 0.999  # violates the c[-1] == 1 contract
+    u = jnp.sort(jr.uniform(jr.key(8), (n,), jnp.float32))
+    u = u.at[-1].set(0.99995)  # beyond c[-1]
+    out, parents = resample_gather_rows_u(big, c, u, interpret=True)
+    assert int(parents[-1]) == n - 1
+    np.testing.assert_array_equal(np.asarray(out[:, -1]),
+                                  np.asarray(big[:, -1]))
+    assert np.all(np.asarray(parents) >= 0)
+    assert np.all(np.asarray(parents) < n)
+
+
 @pytest.mark.parametrize("n,m", [(2048, 1024), (1000, 2000), (513, 513)])
 def test_lane_resample_gather_resize_interpret(n, m):
     # n_out != n (resizing): F path and float-bracket path vs reference
