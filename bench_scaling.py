@@ -44,7 +44,7 @@ def main():
     model = make_object_motion(T)
     x0 = init_state()
 
-    def make_step(n_blocks, n):
+    def make_step(n_blocks, n, mesh):
         def smc_step(key, s, t):
             k1, k2, k3 = jr.split(key, 3)
             s = g.pf_update(k1, s, (t + 1, x0),
@@ -53,10 +53,12 @@ def main():
             ess = g.effective_sample_size(s)
 
             def resample(s):
+                # explicit shard_map collectives when multi-device
+                m = mesh if n_blocks > 1 else None
                 s = pf_resample_blockwise(k2, s, n_blocks,
-                                          method="systematic")
+                                          method="systematic", mesh=m)
                 if n_blocks > 1:
-                    s = pf_rotate_blocks(s, n_blocks, 1)
+                    s = pf_rotate_blocks(s, n_blocks, 1, mesh=mesh)
                 return s
 
             s = lax.cond(ess < 0.5 * n, resample, lambda x: x, s)
@@ -69,7 +71,7 @@ def main():
         state = g.pf_initialize(jr.key(0), model, (1, x0),
                                 obs_at_t(y_obs, 0), n)
         state = shard_state(state, mesh)
-        step = make_step(n_devices, n)
+        step = make_step(n_devices, n, mesh)
         s = step(jr.key(1), state, jnp.asarray(1, jnp.int32))
         _ = np.asarray(s.log_ml_est)  # force completion
 

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..smc.state import ParticleFilterState
 
 __all__ = ["particle_mesh", "shard_state", "state_sharding",
-           "replicated_sharding"]
+           "state_pspecs", "replicated_sharding"]
 
 PARTICLE_AXIS = "p"
 
@@ -33,25 +33,41 @@ def particle_mesh(devices=None, axis_name: str = PARTICLE_AXIS) -> Mesh:
                 (axis_name,))
 
 
+def state_pspecs(state, axis_name: str = PARTICLE_AXIS, n: int | None = None):
+    """``PartitionSpec`` pytree for any state-like pytree (a full state, a
+    bare trace, or arbitrary containers of them): every leaf that carries
+    the particle axis (per-leaf position from the trace layout spec —
+    time-major stacked leaves shard axis 1) gets ``axis_name`` at that
+    position; particle-shared leaves and scalars get ``P()`` (replicated).
+    These specs drive both GSPMD placement (:func:`state_sharding`) and the
+    explicit ``jax.shard_map`` collective paths in
+    :mod:`~genparticlefilters_tpu.parallel.distributed`."""
+    from ..core.batching import axes_spec, spec_map
+    if n is None:
+        n = state.n_particles
+    spec = axes_spec(state)
+
+    def leaf_pspec(leaf, ax):
+        shape = jnp.shape(leaf) if hasattr(leaf, "shape") else ()
+        if (ax is not None and len(shape) > ax and shape[ax] == n):
+            parts = [None] * (ax + 1)
+            parts[ax] = axis_name
+            return P(*parts)
+        return P()
+
+    return spec_map(leaf_pspec, state, spec)
+
+
 def state_sharding(mesh: Mesh, state: ParticleFilterState,
                    axis_name: str = PARTICLE_AXIS):
     """Sharding pytree: every leaf is sharded along its particle axis (the
     per-leaf position comes from the trace layout spec — time-major stacked
     leaves shard axis 1); particle-shared leaves and scalars are
     replicated."""
-    from ..core.batching import axes_spec, spec_map
-    n = state.n_particles
-    spec = axes_spec(state)
-
-    def leaf_sharding(leaf, ax):
-        shape = jnp.shape(leaf) if hasattr(leaf, "shape") else ()
-        if (ax is not None and len(shape) > ax and shape[ax] == n):
-            parts = [None] * len(shape)
-            parts[ax] = axis_name
-            return NamedSharding(mesh, P(*parts))
-        return NamedSharding(mesh, P())
-
-    return spec_map(leaf_sharding, state, spec)
+    return jax.tree_util.tree_map(
+        lambda ps: NamedSharding(mesh, ps),
+        state_pspecs(state, axis_name),
+        is_leaf=lambda x: isinstance(x, P))
 
 
 def replicated_sharding(mesh: Mesh):

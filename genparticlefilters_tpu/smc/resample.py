@@ -377,11 +377,35 @@ def _unpack_rows(big, leaves, meta, parents, n):
     return out_leaves
 
 
+_ASSUME_UNPARTITIONED = []
+
+
+class assume_unpartitioned:
+    """Context: values traced inside are KNOWN to be per-device local blocks
+    (the body of a ``jax.shard_map`` over the particle axis), so
+    :func:`_maybe_partitioned` may answer False and re-enable the fused
+    Pallas paths — a ``pallas_call`` inside ``shard_map`` runs on exactly
+    its local shard, which is precisely the blockwise-resampling semantics.
+    Never use outside a shard_map body (or a provably single-device
+    region)."""
+
+    def __enter__(self):
+        _ASSUME_UNPARTITIONED.append(True)
+        return self
+
+    def __exit__(self, *exc):
+        _ASSUME_UNPARTITIONED.pop()
+        return False
+
+
 def _maybe_partitioned(x) -> bool:
     """Conservatively True when ``x``'s leading (particle) axis may be
     partitioned over more than one device — the fused Pallas kernels must
     then be skipped: a ``pallas_call`` does not partition under GSPMD, so
     it would see only the local shard (wrong ancestry) or force a gather.
+
+    Inside an :class:`assume_unpartitioned` region (shard_map bodies, where
+    every value is a local block by construction) the answer is False.
 
     Concrete arrays are definitive (``sharding.shard_shape``). Traced
     arrays in auto-sharding mode carry no per-array spec, but ``jax.typeof``
@@ -392,6 +416,8 @@ def _maybe_partitioned(x) -> bool:
     conservative: assume partitioned whenever >1 device exists, so an
     inconclusive answer can never re-enable the Pallas path on sharded
     inputs."""
+    if _ASSUME_UNPARTITIONED:
+        return False
     s = getattr(x, "sharding", None)
     if s is not None:
         try:
@@ -517,6 +543,34 @@ def _new_weights_sub(n, log_weights, log_priorities, parents, custom):
         return jnp.full((n,), avg, log_weights.dtype)
     lw = log_weights[parents] - log_priorities[parents]
     return lw + (logsumexp(log_weights) - logsumexp(lw))
+
+
+def _resample_block(key, traces, log_weights, parent_fn, priority_fn=None,
+                    F_fn=None, cu_fn=None, clustered=True):
+    """Block-local resample preserving the block's total weight (sub-state
+    semantics, ref: src/resample.jl:205-218) on bare (traces, log_weights).
+    This is the per-shard body of the shard_map blockwise path
+    (``parallel/distributed.py``): under :class:`assume_unpartitioned` the
+    fused Pallas gathers run on the local shard. Returns
+    ``(new_traces, parents_local, new_log_weights)``."""
+    b = log_weights.shape[0]
+    custom = priority_fn is not None
+    lp = priority_fn(log_weights) if custom else log_weights
+    w, _ = safe_softmax(lp)
+    from .. import config as _config
+    use_fused = ((F_fn is not None or cu_fn is not None)
+                 and _config.clustered_gather
+                 and jax.devices()[0].platform == "tpu"
+                 and not _maybe_partitioned(log_weights))
+    if use_fused and cu_fn is not None:
+        new_traces, parents = _gather_traces_from_cu(traces, *cu_fn(key, w))
+    elif use_fused:
+        new_traces, parents = _gather_traces_from_F(traces, F_fn(key, w))
+    else:
+        parents = parent_fn(key, w, lp)
+        new_traces = _gather_traces(traces, parents, clustered=clustered)
+    new_lw = _new_weights_sub(b, log_weights, lp, parents, custom)
+    return new_traces, parents, new_lw
 
 
 def _resample_impl(key, state, parent_fn, priority_fn, check,
