@@ -38,7 +38,7 @@ from .gfi import Trace
 __all__ = [
     "axes_spec", "choice_axes", "vmap_gfi", "unbatch_avals",
     "tree_take", "tree_put", "tree_concat", "batch_size",
-    "moveaxis_to_front",
+    "moveaxis_to_front", "check_batched_layout",
 ]
 
 
@@ -198,6 +198,63 @@ def _contains_trace(obj) -> bool:
 
     jax.tree_util.tree_map(visit, obj, is_leaf=lambda x: isinstance(x, Trace))
     return bool(found)
+
+
+def check_batched_layout(batched_tree, per_particle_fn, n: int,
+                         context: str = "batched interpretation",
+                         eval_args=()):
+    """Trace-time guard against the batched-interpretation shape ambiguity
+    (``core/gfi.py`` batchedness convention: leading dim == N means
+    per-particle). A genuinely unbatched array whose leading dim happens to
+    equal N is silently misread as per-particle inside a batched
+    interpretation — this guard makes that a loud error: it abstractly
+    evaluates ``per_particle_fn()`` (the SAME program, per-particle
+    semantics, via ``jax.eval_shape`` — no FLOPs, one extra trace per
+    compilation) and demands every leaf of ``batched_tree`` be exactly the
+    per-particle leaf with one axis of extent ``n`` inserted at its
+    particle-axis spec position (shared leaves: identical shapes).
+
+    Raises ``ValueError`` naming the first inconsistent leaf. Gate:
+    ``config.check_batched_layout``.
+    """
+    from .gfi import batched_interpretation
+
+    def suspended(*xs):
+        with batched_interpretation(None):
+            return per_particle_fn(*xs)
+
+    pp_tree = jax.eval_shape(suspended, *eval_args)
+    leaves, treedef = jax.tree_util.tree_flatten(batched_tree)
+    try:
+        pp_leaves = treedef.flatten_up_to(pp_tree)
+    except ValueError as e:
+        raise ValueError(
+            f"{context}: batched and per-particle interpretations produced "
+            f"different trace STRUCTURES — a model value whose leading dim "
+            f"equals the particle count n={n} was likely misread as "
+            f"per-particle (see core/gfi.py batchedness convention). "
+            f"Underlying: {e}") from e
+    axes = treedef.flatten_up_to(axes_spec(batched_tree))
+    for i, (bl, pl, ax) in enumerate(zip(leaves, pp_leaves, axes)):
+        bs = tuple(jnp.shape(bl))
+        ps = tuple(jnp.shape(pl))
+        if ax is None:
+            ok = bs == ps
+            want = ps
+        else:
+            want = ps[:ax] + (n,) + ps[ax:]
+            ok = bs == want
+        if not ok:
+            raise ValueError(
+                f"{context}: trace leaf {i} has batched shape {bs} but the "
+                f"per-particle interpretation implies {want} "
+                f"(per-particle shape {ps}, particle axis "
+                f"{'shared' if ax is None else ax}, n={n}). A model value "
+                f"whose leading dim coincidentally equals the particle "
+                f"count was probably misread as per-particle — reshape it, "
+                f"rename the axis, or pick a different particle count "
+                f"(core/gfi.py batchedness convention); to bypass, set "
+                f"genparticlefilters_tpu.config.check_batched_layout=False.")
 
 
 # ---------------------------------------------------------------------------

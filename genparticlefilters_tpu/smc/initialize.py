@@ -65,6 +65,14 @@ def pf_initialize(key, model: GenFn, model_args, observations: ChoiceMap,
                 constraints = (observations if per_particle is None
                                else per_particle.merge(observations))
                 traces, ws = model.generate(key, model_args, constraints)
+                from .. import config as _config
+                if _config.check_batched_layout and per_particle is None:
+                    from ..core.batching import check_batched_layout
+                    check_batched_layout(
+                        traces,
+                        lambda: model.generate(key, model_args,
+                                               observations)[0],
+                        n_particles, context="pf_initialize (batched)")
             else:
                 k1, k2 = jr.split(key)
                 prop_choices, prop_w, _ = proposal.propose(k1, p_args)

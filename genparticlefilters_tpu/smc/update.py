@@ -128,6 +128,17 @@ def pf_update(key, state, new_args=None, argdiffs=None,
                            else per_particle.merge(observations))
             new_traces, ws, _, discards = traces.gen_fn.update(
                 key, traces, new_args, argdiffs, constraints)
+            from .. import config as _config
+            if _config.check_batched_layout and per_particle is None:
+                from ..core.batching import (check_batched_layout,
+                                             unbatch_avals, axes_spec)
+                pp_traces = unbatch_avals(traces, axes_spec(traces))
+                check_batched_layout(
+                    new_traces,
+                    lambda tr: traces.gen_fn.update(
+                        key, tr, new_args, argdiffs, observations)[0],
+                    n, context="pf_update (batched)",
+                    eval_args=(pp_traces,))
         _check_no_discard(discards, do_check)
         return scatter(new_traces, log_weights + ws + log_nk)
 

@@ -134,3 +134,44 @@ def test_batched_lml_unbiased_short():
         z.append(math.exp(float(g.log_ml_estimate(st)) - float(lml_exact)))
     z = np.asarray(z)
     assert abs(z.mean() - 1.0) < 4 * z.std() / math.sqrt(len(z)) + 0.05
+
+
+def test_batched_shape_collision_raises():
+    """VERDICT r3 #7: a genuinely unbatched model value whose leading dim
+    equals the particle count would be silently misread as per-particle by
+    the batched interpretation; the trace-time layout guard must turn that
+    into an immediate error (and the same model must work at a
+    non-colliding particle count)."""
+    import jax.numpy as jnp
+    import pytest
+
+    @g.gen
+    def collide_model(_):
+        base = jnp.arange(64, dtype=jnp.float32)  # event vector, length 64
+        return g.trace("x", g.normal(base, 1.0))
+
+    collide_model.batch_safe = True
+
+    # non-colliding particle count: works, leaf is [N, 64]
+    st = g.pf_initialize(jr.key(0), collide_model, (0,), g.choicemap(), 32)
+    assert g.batched_choice(st, "x").shape == (32, 64)
+
+    # colliding particle count: loud error instead of silent corruption
+    with pytest.raises(ValueError, match="misread as per-particle"):
+        g.pf_initialize(jr.key(0), collide_model, (0,), g.choicemap(), 64)
+
+
+def test_batched_guard_can_be_disabled():
+    import jax.numpy as jnp
+    from genparticlefilters_tpu import config as cfg
+
+    @g.gen
+    def collide_model(_):
+        base = jnp.arange(16, dtype=jnp.float32)
+        return g.trace("x", g.normal(base, 1.0))
+
+    collide_model.batch_safe = True
+    with cfg.use_check_batched_layout(False):
+        st = g.pf_initialize(jr.key(0), collide_model, (0,), g.choicemap(),
+                             16)  # silently misread (documented footgun)
+    assert g.batched_choice(st, "x").shape == (16,)
