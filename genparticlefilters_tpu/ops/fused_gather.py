@@ -38,24 +38,39 @@ _BL = 512   # output lanes per grid step (lane-major kernels)
 _SL = 512   # source lanes per DMA chunk (lane-major kernels)
 
 
-def _lane_kernel_body(vals, onehot, accs):
-    """Accumulate the exact int8 byte-plane one-hot select for one chunk:
-    ``acc[r, b] += Σ_s byte(vals)[r, s] * onehot[b, s]`` — contraction over
-    the lane (source-particle) axis of both operands, int8 MXU (2x bf16
-    rate on v5e; bytes biased to [-128,127], undone after the loop since
-    each output's one-hot hits exactly once across all chunks)."""
-    for shift, acc in ((0, accs[0]), (8, accs[1]), (16, accs[2]),
-                       (24, accs[3])):
-        byte = (jax.lax.bitwise_and(
+def _lane_kernel_body(vals, onehot, acc):
+    """Accumulate the exact int8 byte-plane one-hot select for one chunk,
+    as ONE stacked matmul: the four byte planes of ``vals`` (biased to
+    [-128,127], undone after the loop since each output's one-hot hits
+    exactly once across all chunks) are stacked on sublanes into a single
+    [4R, S] operand sharing one one-hot, so the MXU runs one full-row-
+    occupancy [4R x S x B] int8 contraction instead of four quarter-
+    occupancy [R x S x B] passes (R~56 uses 44% of the 128 MXU rows; 4R
+    uses ~88-100% — measured ~1.7x on the in-filter resample phase)."""
+    planes = [
+        (jax.lax.bitwise_and(
             jax.lax.shift_right_logical(vals, shift), 0xFF)
-            - 128).astype(jnp.int8)
-        acc[:] += jax.lax.dot_general(
-            byte, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+         - 128).astype(jnp.int8)
+        for shift in (0, 8, 16, 24)]
+    stacked = jnp.concatenate(planes, axis=0)
+    acc[:] += jax.lax.dot_general(
+        stacked, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def _lane_kernel_out(acc, r8, d_out):
+    """Recombine the stacked byte-plane accumulator [4*r8, B] into int32
+    output rows [d_out, B] (undoing the -128 bias)."""
+    out = jnp.zeros((d_out, acc.shape[1]), jnp.int32)
+    for k, shift in enumerate((0, 8, 16, 24)):
+        byte = jax.lax.bitwise_and(acc[k * r8:k * r8 + d_out, :] + 128,
+                                   0xFF)
+        out = out | jax.lax.shift_left(byte, shift)
+    return out
 
 
 def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
-                         chunk_ref, acc0, acc1, acc2, acc3, sem):
+                         chunk_ref, acc, sem):
     """Lane-major fused resampling gather: the packed matrix is [R, N] with
     particles on LANES (the native time-major packing) and two extra sublane
     rows carrying the cumulative-hit-count bracket ``[F_prev, F)`` per
@@ -74,8 +89,7 @@ def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
 
     j_col = i * _BL + jax.lax.broadcasted_iota(jnp.int32, (_BL, 1), 0)
 
-    for acc in (acc0, acc1, acc2, acc3):
-        acc[:] = jnp.zeros_like(acc)
+    acc[:] = jnp.zeros_like(acc)
 
     def dma(c, buf):
         return pltpu.make_async_copy(
@@ -96,20 +110,15 @@ def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
         fp = vals[rfp, :][None, :]                # [1, S]
         fc = vals[rfp + 1, :][None, :]
         onehot = jnp.logical_and(fp <= j_col, j_col < fc).astype(jnp.int8)
-        _lane_kernel_body(vals, onehot, (acc0, acc1, acc2, acc3))
+        _lane_kernel_body(vals, onehot, acc)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-    d_out = out_ref.shape[0]
-    out = jnp.zeros((d_out, _BL), jnp.int32)
-    for shift, acc in ((0, acc0), (8, acc1), (16, acc2), (24, acc3)):
-        byte = jax.lax.bitwise_and(acc[:d_out, :] + 128, 0xFF)
-        out = out | jax.lax.shift_left(byte, shift)
-    out_ref[:] = out
+    out_ref[:] = _lane_kernel_out(acc, r8, out_ref.shape[0])
 
 
 def _kernel_stairs_lanes_u(bases_ref, u_ref, src_ref, out_ref,
-                           chunk_ref, acc0, acc1, acc2, acc3, sem):
+                           chunk_ref, acc, sem):
     """Float-bracket variant of :func:`_kernel_stairs_lanes` for multinomial
     resampling: the two appended sublane rows carry the *cumulative weights*
     ``(c_prev, c]`` per source particle (f32 bitcast into the int32 matrix)
@@ -129,8 +138,7 @@ def _kernel_stairs_lanes_u(bases_ref, u_ref, src_ref, out_ref,
 
     u_col = u_ref[...].astype(jnp.float32)        # [B, 1]
 
-    for acc in (acc0, acc1, acc2, acc3):
-        acc[:] = jnp.zeros_like(acc)
+    acc[:] = jnp.zeros_like(acc)
 
     def dma(c, buf):
         return pltpu.make_async_copy(
@@ -152,20 +160,15 @@ def _kernel_stairs_lanes_u(bases_ref, u_ref, src_ref, out_ref,
         cc = jax.lax.bitcast_convert_type(vals[rcp + 1, :],
                                           jnp.float32)[None, :]
         onehot = jnp.logical_and(cp < u_col, u_col <= cc).astype(jnp.int8)
-        _lane_kernel_body(vals, onehot, (acc0, acc1, acc2, acc3))
+        _lane_kernel_body(vals, onehot, acc)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-    d_out = out_ref.shape[0]
-    out = jnp.zeros((d_out, _BL), jnp.int32)
-    for shift, acc in ((0, acc0), (8, acc1), (16, acc2), (24, acc3)):
-        byte = jax.lax.bitwise_and(acc[:d_out, :] + 128, 0xFF)
-        out = out | jax.lax.shift_left(byte, shift)
-    out_ref[:] = out
+    out_ref[:] = _lane_kernel_out(acc, r8, out_ref.shape[0])
 
 
 def _kernel_clustered_lanes(parents_ref, src_ref, out_ref,
-                            chunk_ref, acc0, acc1, acc2, acc3, sem):
+                            chunk_ref, acc, sem):
     """Lane-major clustered gather from explicit non-decreasing parents:
     like :func:`_kernel_stairs_lanes` but the one-hot is an equality match
     against this block's parent indices (block-indexed VMEM operand)."""
@@ -175,9 +178,9 @@ def _kernel_clustered_lanes(parents_ref, src_ref, out_ref,
     lo_al = (lo // _SL) * _SL
     n_chunks = (hi - lo_al) // _SL + 1
     p_col = pvec[:, None]                         # [B, 1]
+    r8 = chunk_ref.shape[1]
 
-    for acc in (acc0, acc1, acc2, acc3):
-        acc[:] = jnp.zeros_like(acc)
+    acc[:] = jnp.zeros_like(acc)
 
     def dma(c, buf):
         return pltpu.make_async_copy(
@@ -198,16 +201,11 @@ def _kernel_clustered_lanes(parents_ref, src_ref, out_ref,
         base = lo_al + c * _SL
         lane = base + jax.lax.broadcasted_iota(jnp.int32, (1, _SL), 1)
         onehot = (p_col == lane).astype(jnp.int8)  # [B, S]
-        _lane_kernel_body(vals, onehot, (acc0, acc1, acc2, acc3))
+        _lane_kernel_body(vals, onehot, acc)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-    d_out = out_ref.shape[0]
-    out = jnp.zeros((d_out, _BL), jnp.int32)
-    for shift, acc in ((0, acc0), (8, acc1), (16, acc2), (24, acc3)):
-        byte = jax.lax.bitwise_and(acc[:d_out, :] + 128, 0xFF)
-        out = out | jax.lax.shift_left(byte, shift)
-    out_ref[:] = out
+    out_ref[:] = _lane_kernel_out(acc, r8, out_ref.shape[0])
 
 
 def _pad_lanes(mat, n_pad, fill=0):
@@ -269,10 +267,7 @@ def resample_gather_rows(big, F, has_index_row: bool = False,
             out_specs=pl.BlockSpec((r8, _BL), lambda i, bases: (0, i)),
             scratch_shapes=[
                 pltpu.VMEM((2, r8, _SL), jnp.int32),
-                pltpu.VMEM((r8, _BL), jnp.int32),
-                pltpu.VMEM((r8, _BL), jnp.int32),
-                pltpu.VMEM((r8, _BL), jnp.int32),
-                pltpu.VMEM((r8, _BL), jnp.int32),
+                pltpu.VMEM((4 * r8, _BL), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -362,10 +357,7 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
             out_specs=pl.BlockSpec((r8, _BL), lambda i, bases: (0, i)),
             scratch_shapes=[
                 pltpu.VMEM((2, r8, _SL), jnp.int32),
-                pltpu.VMEM((r8, _BL), jnp.int32),
-                pltpu.VMEM((r8, _BL), jnp.int32),
-                pltpu.VMEM((r8, _BL), jnp.int32),
-                pltpu.VMEM((r8, _BL), jnp.int32),
+                pltpu.VMEM((4 * r8, _BL), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -408,10 +400,7 @@ def gather_rows_clustered(big, parents, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, r8, _SL), jnp.int32),
-            pltpu.VMEM((r8, _BL), jnp.int32),
-            pltpu.VMEM((r8, _BL), jnp.int32),
-            pltpu.VMEM((r8, _BL), jnp.int32),
-            pltpu.VMEM((r8, _BL), jnp.int32),
+            pltpu.VMEM((4 * r8, _BL), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

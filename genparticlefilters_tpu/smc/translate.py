@@ -104,8 +104,50 @@ class TraceTransform:
                               inverse_continuous_out=self.continuous_in)
 
     # -- application ------------------------------------------------------
+    def _logdet(self, input_maps: dict, run):
+        """AD log|det J| over the declared continuous part of one
+        (per-particle) set of input maps."""
+        in_vals = [_get_val(input_maps, s) for s in self.continuous_in]
+        sizes = [int(jnp.size(v)) for v in in_vals]
+        shapes = [jnp.shape(v) for v in in_vals]
+        total_in = sum(sizes)
+
+        def g(x_flat):
+            maps = dict(input_maps)
+            off = 0
+            for s, sz, shp in zip(self.continuous_in, sizes, shapes):
+                _set_val(maps, s, jnp.reshape(x_flat[off:off + sz], shp))
+                off += sz
+            out = run(maps)
+            out_named = self._name_outputs(out)
+            pieces = []
+            for s in self.continuous_out:
+                pieces.append(jnp.ravel(_get_val(out_named, s)))
+            return jnp.concatenate(pieces) if pieces else jnp.zeros((0,))
+
+        x0 = jnp.concatenate([jnp.ravel(v) for v in in_vals]).astype(
+            jnp.float32)
+        J = jax.jacfwd(g)(x0)
+        if J.shape != (total_in, total_in):
+            raise ValueError(
+                f"transform Jacobian is {J.shape}, not square "
+                f"({total_in}); continuous_in/continuous_out must "
+                "cover the same total dimension")
+        sign, logabs = jnp.linalg.slogdet(J)
+        return logabs
+
     def _apply(self, input_maps: dict, n_outputs: int):
-        """Run fn and compute log|det J| over the declared continuous part."""
+        """Run fn and compute log|det J| over the declared continuous part.
+
+        Under a batched interpretation (``core.gfi.current_batch()`` is N),
+        ``fn`` runs ONCE with [N]-leading entry values (it must be
+        batch-polymorphic, like any ``batch_safe`` model body) and the
+        Jacobian is computed as N per-particle blocks via a vmapped
+        ``jacfwd`` — the [N·d, N·d] joint Jacobian is block-diagonal by
+        construction (particles are independent), so the per-particle
+        ``slogdet``s are exact."""
+        from ..core.gfi import batched_interpretation, current_batch
+
         def run(maps):
             args = [maps[k] for k in self._input_order(maps)]
             out = self.fn(*args)
@@ -116,34 +158,22 @@ class TraceTransform:
         outs = run(input_maps)
         logdet = jnp.asarray(0.0, jnp.float32)
         if self.continuous_in:
-            in_vals = [_get_val(input_maps, s) for s in self.continuous_in]
-            sizes = [int(jnp.size(v)) for v in in_vals]
-            shapes = [jnp.shape(v) for v in in_vals]
-            total_in = sum(sizes)
+            b = current_batch()
+            if b is None:
+                logdet = self._logdet(input_maps, run)
+            else:
+                def leaf_axis(l):
+                    return 0 if (hasattr(l, "ndim") and jnp.ndim(l) >= 1
+                                 and jnp.shape(l)[0] == b) else None
 
-            def g(x_flat):
-                maps = dict(input_maps)
-                off = 0
-                for s, sz, shp in zip(self.continuous_in, sizes, shapes):
-                    _set_val(maps, s, jnp.reshape(x_flat[off:off + sz], shp))
-                    off += sz
-                out = run(maps)
-                out_named = self._name_outputs(out)
-                pieces = []
-                for s in self.continuous_out:
-                    pieces.append(jnp.ravel(_get_val(out_named, s)))
-                return jnp.concatenate(pieces) if pieces else jnp.zeros((0,))
+                in_axes = jax.tree_util.tree_map(leaf_axis, input_maps)
 
-            x0 = jnp.concatenate([jnp.ravel(v) for v in in_vals]).astype(
-                jnp.float32)
-            J = jax.jacfwd(g)(x0)
-            if J.shape != (total_in, total_in):
-                raise ValueError(
-                    f"transform Jacobian is {J.shape}, not square "
-                    f"({total_in}); continuous_in/continuous_out must "
-                    "cover the same total dimension")
-            sign, logabs = jnp.linalg.slogdet(J)
-            logdet = logabs
+                def pp_logdet(maps_pp):
+                    return self._logdet(maps_pp, run)
+
+                with batched_interpretation(None):
+                    logdet = jax.vmap(pp_logdet, in_axes=(in_axes,))(
+                        input_maps)
         return outs, logdet
 
     def _input_order(self, maps):

@@ -49,6 +49,27 @@ def _block(state):
     return state.traces, state.log_weights, state.n_particles, scatter
 
 
+def _translator_batch_safe(model_gf, translator) -> bool:
+    """A translator update may run under ONE batched interpretation when
+    the model and every proposal it invokes are marked ``batch_safe`` (and
+    the translator is one of the known classes whose body is
+    batch-polymorphic). Custom callables fall back to the always-correct
+    vmapped path."""
+    from .translate import GeneralTraceTranslator
+    if not getattr(model_gf, "batch_safe", False):
+        return False
+    if isinstance(translator, ExtendingTraceTranslator):
+        qs = (translator.q_forward,)
+    elif isinstance(translator, UpdatingTraceTranslator):
+        qs = (translator.q_forward, translator.q_backward)
+    elif isinstance(translator, GeneralTraceTranslator):
+        qs = (translator.q_forward, translator.q_backward,
+              translator.new_model)
+    else:
+        return False
+    return all(q is None or getattr(q, "batch_safe", False) for q in qs)
+
+
 def _per_particle_strata(key, strata, n, layout):
     strata = list(strata)
     n_strata = len(strata)
@@ -98,6 +119,20 @@ def pf_update(key, state, new_args=None, argdiffs=None,
         if isinstance(translator, UpdatingTraceTranslator) and (
                 prev_observations is not EMPTY):
             tkw["prev_observations"] = prev_observations
+        if per_particle is None and _translator_batch_safe(traces.gen_fn,
+                                                           translator):
+            # ONE batched interpretation through the whole translator:
+            # fwd simulate/propose, transform, model update, and bwd
+            # generate all run [N]-wide (scalar site keys, one counter-mode
+            # PRNG pass per site); AD Jacobians are computed as N
+            # per-particle blocks via a vmapped jacfwd inside the
+            # transform (TraceTransform._apply). Opt-in via batch_safe on
+            # the model AND every proposal (same contract as pf_initialize
+            # /pf_update batched paths).
+            from ..core.gfi import batched_interpretation
+            with batched_interpretation(n):
+                new_traces, ws = translator(key, traces, **tkw)
+            return scatter(new_traces, log_weights + ws + log_nk)
         if per_particle is None:
             def one(k, tr):
                 return translator(k, tr, **tkw)

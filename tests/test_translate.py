@@ -3,6 +3,7 @@ including AD-Jacobian corrections standing in for Gen's transform DSL."""
 
 import math
 
+import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
@@ -251,3 +252,156 @@ def test_smcp3_check_with_translator_across_jit_boundary():
 
     lw = np.asarray(step(state0, _smcp3_translator()))
     assert np.all(np.isfinite(lw))
+
+
+# ---------------------------------------------------------------------------
+# Batched translator interpretation (VERDICT r3 #4)
+# ---------------------------------------------------------------------------
+
+def _tempered_setup():
+    from genparticlefilters_tpu.models.tempered import (
+        make_tempered_model, tempered_loglik, PRIOR_LOC, PRIOR_SCALE)
+    model = make_tempered_model()
+
+    @g.gen
+    def fwd(tr):
+        g.trace("eps", g.normal(0.0, 0.25))
+
+    @g.gen
+    def bwd(tr):
+        g.trace("eps", g.normal(0.0, 0.25))
+
+    fwd.batch_safe = True
+    bwd.batch_safe = True
+    return model, fwd, bwd, tempered_loglik, PRIOR_LOC, PRIOR_SCALE
+
+
+def test_batched_updating_translator_exact_weights():
+    """The batched SMCP³ path (one [N]-wide interpretation through fwd
+    simulate + transform + model update + bwd generate) must produce
+    exactly the Del Moral/SMCP³ weight arithmetic
+    (ref: src/translate.jl:248-274): w = Δscore + log|det J| − fwd + bwd,
+    recomputed per particle from the produced traces."""
+    import math
+    from genparticlefilters_tpu.core.choicemap import ChoiceMap, Entry
+
+    model, fwd, bwd, loglik, PLOC, PSCALE = _tempered_setup()
+    n = 256
+    b0, b1 = 0.3, 0.7
+
+    def transform_fn(prev, fwd_ch):
+        eps = fwd_ch[("eps",)]
+        x = prev[("x",)]
+        return (ChoiceMap({("x",): Entry(x + eps, True)}),
+                ChoiceMap({("eps",): Entry(-eps, True)}))
+
+    st = g.pf_initialize(jr.key(0), model, (b0,), g.choicemap(), n)
+    tr = g.UpdatingTraceTranslator(
+        p_new_args=(b1,), p_argdiffs=(g.UnknownChange(),),
+        q_forward=fwd, q_backward=bwd,
+        transform=g.TraceTransform(transform_fn))
+    x_old = np.asarray(g.batched_choice(st, "x"), np.float64)
+    st2 = g.pf_update(jr.key(1), st, translator=tr, check=False)
+    x_new = np.asarray(g.batched_choice(st2, "x"), np.float64)
+    eps = x_new - x_old
+
+    def lp_norm(v, mu, s):
+        return (-0.5 * ((v - mu) / s) ** 2 - math.log(s)
+                - 0.5 * math.log(2 * math.pi))
+
+    def score(x, beta):
+        return lp_norm(x, PLOC, PSCALE) + beta * np.asarray(
+            loglik(jnp.asarray(x)), np.float64)
+
+    # shift map: logdet = 0; fwd/bwd eps scores are symmetric normals
+    expected = (score(x_new, b1) - score(x_old, b0)
+                - lp_norm(eps, 0.0, 0.25) + lp_norm(-eps, 0.0, 0.25))
+    got = np.asarray(st2.log_weights - st.log_weights, np.float64)
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_batched_translator_vmapped_jacobian():
+    """Per-particle AD Jacobians under the batched path: a nonlinear
+    per-particle scaling x' = x·exp(eps) has log|det J| = eps_i per
+    particle; the batched vmapped-jacfwd must reproduce it exactly in the
+    weights."""
+    import math
+    from genparticlefilters_tpu.core.choicemap import ChoiceMap, Entry
+
+    model, fwd, bwd, loglik, PLOC, PSCALE = _tempered_setup()
+    n = 128
+    b0, b1 = 0.2, 0.9
+
+    def transform_fn(prev, fwd_ch):
+        eps = fwd_ch[("eps",)]
+        x = prev[("x",)]
+        return (ChoiceMap({("x",): Entry(x * jnp.exp(eps), True)}),
+                ChoiceMap({("eps",): Entry(-eps, True)}))
+
+    tf = g.TraceTransform(
+        transform_fn,
+        continuous_in=(("prev", "x"), ("fwd", "eps")),
+        continuous_out=(("model", "x"), ("bwd", "eps")))
+
+    st = g.pf_initialize(jr.key(2), model, (b0,), g.choicemap(), n)
+    tr = g.UpdatingTraceTranslator(
+        p_new_args=(b1,), p_argdiffs=(g.UnknownChange(),),
+        q_forward=fwd, q_backward=bwd, transform=tf)
+    x_old = np.asarray(g.batched_choice(st, "x"), np.float64)
+    st2 = jax.jit(lambda k, s: g.pf_update(k, s, translator=tr,
+                                           check=False))(jr.key(3), st)
+    x_new = np.asarray(g.batched_choice(st2, "x"), np.float64)
+    eps = np.log(x_new / x_old)
+
+    def lp_norm(v, mu, s):
+        return (-0.5 * ((v - mu) / s) ** 2 - math.log(s)
+                - 0.5 * math.log(2 * math.pi))
+
+    def score(x, beta):
+        return lp_norm(x, PLOC, PSCALE) + beta * np.asarray(
+            loglik(jnp.asarray(x)), np.float64)
+
+    expected = (score(x_new, b1) - score(x_old, b0) + eps
+                - lp_norm(eps, 0.0, 0.25) + lp_norm(-eps, 0.0, 0.25))
+    got = np.asarray(st2.log_weights - st.log_weights, np.float64)
+    np.testing.assert_allclose(got, expected, atol=5e-4)
+
+
+def test_batched_translator_structural_match_vmapped():
+    """Batched and vmapped translator paths must yield structurally
+    identical states (same leaf shapes/dtypes) and statistically
+    equivalent evidence estimates."""
+    import copy
+    from genparticlefilters_tpu.core.choicemap import ChoiceMap, Entry
+
+    model, fwd, bwd, loglik, _, _ = _tempered_setup()
+    n = 512
+
+    def transform_fn(prev, fwd_ch):
+        eps = fwd_ch[("eps",)]
+        x = prev[("x",)]
+        return (ChoiceMap({("x",): Entry(x + eps, True)}),
+                ChoiceMap({("eps",): Entry(-eps, True)}))
+
+    def run(m, f_, b_, key):
+        st = g.pf_initialize(key, m, (0.3,), g.choicemap(), n)
+        tr = g.UpdatingTraceTranslator(
+            p_new_args=(0.8,), p_argdiffs=(g.UnknownChange(),),
+            q_forward=f_, q_backward=b_,
+            transform=g.TraceTransform(transform_fn))
+        return g.pf_update(jr.key(9), st, translator=tr, check=False)
+
+    st_b = run(model, fwd, bwd, jr.key(4))
+    m2, f2, b2 = copy.copy(model), copy.copy(fwd), copy.copy(bwd)
+    m2.batch_safe = f2.batch_safe = b2.batch_safe = False
+    st_v = run(m2, f2, b2, jr.key(4))
+    lb = jax.tree_util.tree_leaves(st_b)
+    lv = jax.tree_util.tree_leaves(st_v)
+    assert len(lb) == len(lv)
+    for a, b in zip(lb, lv):
+        assert jnp.shape(a) == jnp.shape(b), (jnp.shape(a), jnp.shape(b))
+        assert getattr(a, "dtype", None) == getattr(b, "dtype", None)
+    # same inference problem: mean weighted x must agree across paths
+    ma = float(g.mean(st_b, "x"))
+    mb = float(g.mean(st_v, "x"))
+    assert abs(ma - mb) < 0.5, (ma, mb)
