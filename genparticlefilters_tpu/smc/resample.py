@@ -30,6 +30,7 @@ from ..utils.weights import safe_softmax, apply_check, logsumexp
 from .state import ParticleFilterState, ParticleFilterSubState
 
 __all__ = ["pf_resample", "pf_multinomial_resample", "pf_residual_resample",
+           "blockwise_compose",
            "pf_stratified_resample", "pf_systematic_resample",
            "multinomial_parents", "residual_parents", "stratified_parents",
            "systematic_parents", "stratified_F", "systematic_F",
@@ -543,6 +544,82 @@ def _new_weights_sub(n, log_weights, log_priorities, parents, custom):
         return jnp.full((n,), avg, log_weights.dtype)
     lw = log_weights[parents] - log_priorities[parents]
     return lw + (logsumexp(log_weights) - logsumexp(lw))
+
+
+def blockwise_compose(key, weights_blocks, method: str,
+                      interpret: bool = False):
+    """Compose per-block offspring structures for ``n_blocks`` independent
+    resamples into ONE globally clustered fused-kernel pass (the
+    single-device fast path of ``parallel.pf_resample_blockwise``; on a
+    mesh each shard runs its own fused kernel instead).
+
+    Per-block parents are non-decreasing within each block and blocks are
+    ascending, so the concatenation is globally clustered. Composition per
+    method:
+
+    - ``systematic``: per-block cumulative hit counts ``F_k`` (vmapped,
+      pure cumsum arithmetic) plus block offsets — BIT-IDENTICAL to the
+      per-block formulation.
+    - ``multinomial``: per-block float brackets ``(c_k, u_k)`` rescaled to
+      ``((k + x)/K)`` so brackets and queries stay ascending across blocks
+      and every query lands inside its own block's bracket span. Same law
+      as per-block draws (f32 rescale rounding can shift exact-boundary
+      ties); ``u`` is clamped ≥ ``K·2^-23`` so adding the block index
+      cannot round a tiny uniform onto the block boundary (strict
+      ``c_prev < u`` would then match nothing).
+    - ``residual``: per-block deterministic ⌊b·w⌋ counts (vmapped) plus
+      the multinomial remainder counted by ONE role-swapped kernel pass
+      over the same ``(k + x/2)/K`` composition (sources = per-block
+      sorted remainder uniforms with 1.5/1.75 padding, halved to stay
+      below the next block).
+
+    Returns ``("F", F_global)`` or ``("cu", (c_global, u_global))``.
+    """
+    K, b = weights_blocks.shape
+    keys = jr.split(key, K)
+    offs = (jnp.arange(K, dtype=jnp.int32) * b)[:, None]
+    kf = jnp.arange(K, dtype=jnp.float32)[:, None]
+    invK = 1.0 / float(K)
+    if method == "systematic":
+        F = jax.vmap(systematic_F)(keys, weights_blocks)
+        return "F", (F + offs).reshape(K * b)
+    if method == "multinomial":
+        c, u = jax.vmap(multinomial_cu)(keys, weights_blocks)
+        u = jnp.maximum(u, max(K, 2) * 2.0 ** -23)
+        cg = ((kf + c) * invK).reshape(K * b)
+        ug = ((kf + u) * invK).reshape(K * b)
+        return "cu", (cg, ug)
+    if method == "residual":
+        scaled = b * weights_blocks
+        det = jnp.floor(scaled).astype(jnp.int32)
+        n_res = b - jnp.sum(det, axis=1)
+        resid = scaled - det.astype(weights_blocks.dtype)
+        rcum = jnp.cumsum(resid, axis=1)
+        rc = rcum / jnp.maximum(rcum[:, -1:], 1e-37)
+        rc = jnp.maximum(rc, max(K, 2) * 2.0 ** -22)
+        ce = jax.vmap(lambda k: _sorted_uniforms_cum(k, b))(keys)
+        denom = ce[jnp.arange(K), n_res][:, None]
+        j = jnp.arange(b, dtype=jnp.int32)[None, :]
+        u = jnp.where(j < n_res[:, None],
+                      jnp.minimum(ce[:, :-1] / denom, 1.5), 1.75)
+        # compose sources (u, up to 1.75) and queries (rc <= 1) with the
+        # SAME monotone per-block map x -> (k + x/2)/K: ascending across
+        # blocks, within-block counts preserved
+        ug = ((kf + 0.5 * u) * invK).reshape(K * b)
+        rcg = ((kf + 0.5 * rc) * invK).reshape(K * b)
+        from ..ops.fused_gather import resample_gather_rows_u
+        _, gidx = resample_gather_rows_u(jnp.zeros((0, K * b), jnp.int32),
+                                         ug, rcg, interpret=interpret)
+        G = gidx.reshape(K, b) - offs  # per-block remainder hit counts
+        F = _pinned_F_blocks(jnp.cumsum(det, axis=1) + G, b)
+        return "F", (F + offs).reshape(K * b)
+    raise ValueError(f"no fused blockwise composition for {method!r}")
+
+
+def _pinned_F_blocks(F, n_out: int):
+    """Per-row :func:`_pinned_F`: clip, pin last column, enforce monotone."""
+    F = jnp.clip(F, 0, n_out).at[:, -1].set(n_out)
+    return jax.lax.cummax(F, axis=1)
 
 
 def _resample_block(key, traces, log_weights, parent_fn, priority_fn=None,
