@@ -71,10 +71,13 @@ def config4():
                  work=N * (K - 1))
 
 
-def config4_smcp3(n=16_384, n_temps=20):
+def config4_smcp3(n=100_000, n_temps=50):
     """SMCP³ translator path (fwd+bwd auxiliary proposals + deterministic
-    transform with Jacobian correction), the API exercised by
-    tests/test_smcp3.py, at a throughput-measurable size."""
+    transform) at the FULL config-4 scale: with the model and both
+    proposals marked batch_safe, pf_update(translator=...) runs ONE
+    batched interpretation through simulate+transform+update+generate
+    (smc/update.py), so the translator path is measured at the same
+    N=100K x 50 temperatures as the args-update shortcut."""
     from genparticlefilters_tpu.models.tempered import make_tempered_model
     from genparticlefilters_tpu.core import gen, trace, normal
     from genparticlefilters_tpu.core.choicemap import ChoiceMap, Entry
@@ -88,6 +91,9 @@ def config4_smcp3(n=16_384, n_temps=20):
     @gen
     def bwd(tr):
         trace("eps", normal(0.0, 0.25))
+
+    fwd.batch_safe = True
+    bwd.batch_safe = True
 
     def transform_fn(prev, fwd_ch):
         eps = fwd_ch[("eps",)]
@@ -115,8 +121,8 @@ def config4_smcp3(n=16_384, n_temps=20):
         st, _ = lax.scan(step, st, (idxs, betas[1:]))
         return g.log_ml_estimate(st)
 
-    time_chained(f"config4 SMCP3 translator N={n} temps={n_temps}", run_one,
-                 work=n * (n_temps - 1))
+    time_chained(f"config4 SMCP3 translator (batched) N={n} temps={n_temps}",
+                 run_one, ks=(2, 12), work=n * (n_temps - 1))
 
 
 def config5(N=1_000_000, T=10):
