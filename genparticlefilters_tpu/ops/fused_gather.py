@@ -227,6 +227,59 @@ def _pad_lanes(mat, n_pad, fill=0):
     return jnp.pad(mat, ((0, 0), (0, n_pad - n)), constant_values=fill)
 
 
+def _make_pack_kernel(n_pieces: int, fill_rows: int, blk: int):
+    """Kernel assembling the gather matrix block [r8, blk] from per-leaf
+    row pieces + an in-kernel index row + zero fill + the two bracket rows.
+    Every write is a full aligned VMEM->HBM block, so the assembly runs at
+    copy speed — the XLA ``concatenate`` it replaces pays an 8-sublane
+    tile read-modify-write per sub-8-row piece (measured 1.8 ms vs 0.55 ms
+    for a same-size plain copy at N=1M)."""
+    def kern(*refs):
+        pieces, (br_ref, out_ref) = refs[:n_pieces], refs[n_pieces:]
+        i = pl.program_id(0)
+        idx_row = i * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        blocks = [p[...] for p in pieces]
+        blocks.append(idx_row)
+        if fill_rows:
+            blocks.append(jnp.zeros((fill_rows, blk), jnp.int32))
+        blocks.append(br_ref[...])
+        out_ref[...] = jnp.concatenate(blocks, axis=0)
+    return kern
+
+
+def _pack_mat(pieces, brackets, r8: int, n_pad: int,
+              interpret: bool = False):
+    """Assemble the lane-major gather matrix [r8, >=n_pad] directly from
+    the unpadded per-leaf row blocks (``pieces``: [w_i, n] int32, read
+    in place — no XLA concat/pad copies) plus the pre-padded bracket rows
+    (``brackets``: [2, >=n_pad]; lanes beyond n MUST carry an
+    empty/never-matching bracket, making the garbage data lanes of the
+    edge blocks inert). The row-index row (parents source) is generated
+    in-kernel. Returns ``mat [r8, n_pad2]``."""
+    n = pieces[0].shape[1]
+    blk = 2048 if n_pad >= 2048 else n_pad
+    n_pad2 = -(-n_pad // blk) * blk
+    if brackets.shape[1] < n_pad2:
+        brackets = jnp.pad(brackets,
+                           ((0, 0), (0, n_pad2 - brackets.shape[1])),
+                           mode="edge")
+    d1 = sum(p.shape[0] for p in pieces) + 1
+    fill = r8 - d1 - 2
+    kern = _make_pack_kernel(len(pieces), fill, blk)
+    in_specs = ([pl.BlockSpec((p.shape[0], blk), lambda i: (0, i))
+                 for p in pieces]
+                + [pl.BlockSpec((2, blk), lambda i: (0, i))])
+    mat = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((r8, n_pad2), jnp.int32),
+        grid=(n_pad2 // blk,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r8, blk), lambda i: (0, i)),
+        interpret=interpret,
+    )(*pieces, brackets)
+    return mat, d1
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "has_index_row", "n_out"))
 def resample_gather_rows(big, F, has_index_row: bool = False,
@@ -240,16 +293,30 @@ def resample_gather_rows(big, F, has_index_row: bool = False,
     bracket sublane rows, and the parents come from a gathered row-index
     row. ``n_out`` defaults to N (resampling); pass a different static
     value for resizing. Falls back to the [N, D] row-oriented kernel (via
-    one transpose) when D exceeds the lane-kernel VMEM budget."""
-    d_in, n = big.shape
+    one transpose) when D exceeds the lane-kernel VMEM budget.
+
+    ``big`` may also be a LIST of unpadded [w_i, N] int32 row blocks (the
+    per-leaf pieces from ``smc.resample._pack_rows``): the matrix is then
+    assembled by the Pallas pack kernel reading the pieces in place —
+    no XLA concat/pad copies anywhere (``has_index_row`` is implied; the
+    index row is generated in-kernel)."""
+    pieces = list(big) if isinstance(big, (list, tuple)) else None
+    if pieces is not None:
+        n = pieces[0].shape[1]
+        d1 = sum(p.shape[0] for p in pieces) + 1
+    else:
+        d_in, n = big.shape
+        assert big.dtype == jnp.int32
+        if not has_index_row:
+            big = jnp.concatenate(
+                [big, jnp.arange(n, dtype=jnp.int32)[None, :]], axis=0)
+        d1 = big.shape[0]      # data rows + row-index row
     m = n if n_out is None else n_out
-    assert big.dtype == jnp.int32
-    if not has_index_row:
-        big = jnp.concatenate([big, jnp.arange(n, dtype=jnp.int32)[None, :]],
-                              axis=0)
-    d1 = big.shape[0]          # data rows + row-index row
     if d1 > 1022:              # acc VMEM cap; route through the row kernel
         assert m == n, "resize with >1022 packed rows is unsupported"
+        if pieces is not None:
+            big = jnp.concatenate(
+                pieces + [jnp.arange(n, dtype=jnp.int32)[None, :]], axis=0)
         outT, parents = resample_gather_transposed(
             big.T, F, interpret=interpret, has_index_col=True)
         return outT[:d1 - 1], parents
@@ -257,17 +324,19 @@ def resample_gather_rows(big, F, has_index_row: bool = False,
     m_pad = -(-m // _BL) * _BL
     n_pad = -(-n // _SL) * _SL + 2 * _SL
     # bracket rows, lane-padded up front ([N]-vector ops are cheap —
-    # padded source lanes get an empty bracket [m, m) -> never match);
-    # the mat is then ONE concat-of-padded-pieces fusion instead of a
-    # concat + a second full-size lane-pad pass (the pad alone measured
-    # ~1.2 ms of the N=1M resample phase)
+    # padded source lanes get an empty bracket [m, m) -> never match)
     f_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), F[:-1],
                               jnp.full((n_pad - n,), m, jnp.int32)])
     F_row = jnp.concatenate([F, jnp.full((n_pad - n,), m, jnp.int32)])
-    mat = jnp.concatenate([
-        _pad_lanes(big, n_pad),
-        jnp.zeros((r8 - d1 - 2, n_pad), jnp.int32),
-        f_prev[None, :], F_row[None, :]], axis=0)
+    brackets = jnp.stack([f_prev, F_row], axis=0)
+    if pieces is not None:
+        mat, _ = _pack_mat(pieces, brackets, r8, n_pad,
+                           interpret=interpret)
+    else:
+        mat = jnp.concatenate([
+            _pad_lanes(big, n_pad),
+            jnp.zeros((r8 - d1 - 2, n_pad), jnp.int32),
+            brackets], axis=0)
 
     grid = jnp.arange(m_pad // _BL + 1, dtype=jnp.int32) * _BL
     ss = jnp.searchsorted(F, grid, side="right").astype(jnp.int32)
@@ -311,35 +380,46 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
     (resizing). Requires D+1 <= 1022 (callers route larger packs through
     the F path).
     """
-    d_in, n = big.shape
+    pieces = list(big) if isinstance(big, (list, tuple)) else None
+    if pieces is not None:
+        n = pieces[0].shape[1]
+        d1 = sum(p.shape[0] for p in pieces) + 1
+    else:
+        d_in, n = big.shape
+        assert big.dtype == jnp.int32
+        if not has_index_row:
+            big = jnp.concatenate(
+                [big, jnp.arange(n, dtype=jnp.int32)[None, :]], axis=0)
+        d1 = big.shape[0]
     m = u.shape[0]
-    assert big.dtype == jnp.int32
-    if not has_index_row:
-        big = jnp.concatenate([big, jnp.arange(n, dtype=jnp.int32)[None, :]],
-                              axis=0)
-    d1 = big.shape[0]
     assert d1 <= 1022, d1
     r8 = -(-(d1 + 2) // 8) * 8
     m_pad = -(-m // _BL) * _BL
     n_pad = -(-n // _SL) * _SL + 2 * _SL
     c = c.astype(jnp.float32)
-    c_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), c[:-1]])
     asi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-    mat = jnp.concatenate([
-        big,
-        jnp.zeros((r8 - d1 - 2, n), jnp.int32),
-        asi(c_prev)[None, :], asi(c)[None, :]], axis=0)
-    # padded source lanes get an empty bracket (2, 2] -> never match any u<1
-    mat = _pad_lanes(mat, n_pad, fill=0)
-    mat = mat.at[r8 - 2:, n:].set(asi(jnp.float32(2.0)))
-    # catch-all last bracket: widen source n-1's upper edge from c[-1] to
-    # 2.0 so every real query u in (c_prev[n-1], 2.0] matches SOME bracket
-    # even if roundoff (or a degenerate caller-supplied c) leaves
-    # c[-1] < max(u) — otherwise a matchless query emits the un-debiased
-    # 0x80808080 byte pattern as both data and parent. Brackets stay
-    # disjoint (only the last upper edge moves), and the 3.0 padding
-    # queries still match nothing (they are sliced off).
-    mat = mat.at[r8 - 1, n - 1].set(asi(jnp.float32(2.0)))
+    # bracket rows, lane-padded up front: padded source lanes get an empty
+    # bracket (2, 2] -> never match any u<1; the LAST real source's upper
+    # edge is widened from c[-1] to 2.0 as a catch-all so every real query
+    # u in (c_prev[n-1], 2.0] matches SOME bracket even if roundoff (or a
+    # degenerate direct-caller c) leaves c[-1] < max(u) — otherwise a
+    # matchless query emits the un-debiased 0x80808080 byte pattern as
+    # both data and parent. Brackets stay disjoint (only the last upper
+    # edge moves), and the 3.0 padding queries still match nothing (they
+    # are sliced off).
+    pad2 = jnp.full((n_pad - n,), 2.0, jnp.float32)
+    c_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), c[:-1], pad2])
+    c_row = jnp.concatenate([c[:-1], jnp.full((1,), 2.0, jnp.float32),
+                             pad2])
+    brackets = jnp.stack([asi(c_prev), asi(c_row)], axis=0)
+    if pieces is not None:
+        mat, _ = _pack_mat(pieces, brackets, r8, n_pad,
+                           interpret=interpret)
+    else:
+        mat = jnp.concatenate([
+            _pad_lanes(big, n_pad),
+            jnp.zeros((r8 - d1 - 2, n_pad), jnp.int32),
+            brackets], axis=0)
 
     # enforce the documented u-in-(0,1] contract: an exact-zero query would
     # match no bracket (condition is strictly c_prev < u) even with the

@@ -483,17 +483,21 @@ def _gather_traces_from_F(traces, F, n_out: int | None = None):
     m = n_src if n_out is None else n_out
     rows, meta = _pack_rows(leaves, axes)
     packed = [r for r in rows if r is not None]
-    packed.append(jnp.arange(n_src, dtype=jnp.int32)[None, :])  # -> parents
-    big = jax.lax.optimization_barrier(jnp.concatenate(packed, axis=0))
-    if big.shape[0] > 1022 and m != n_src:
+    d1 = sum(p.shape[0] for p in packed) + 1
+    if d1 > 1022 and m != n_src:
         # wide resize packs: clustered parents + one packed XLA gather
+        big = jax.lax.optimization_barrier(jnp.concatenate(
+            packed + [jnp.arange(n_src, dtype=jnp.int32)[None, :]], axis=0))
         parents = _F_to_parents(F, m)
         bigT = jax.lax.optimization_barrier(
             jnp.take(big, parents, axis=1))[:-1]
     else:
+        # pieces passed unconcatenated: the Pallas pack kernel assembles
+        # the gather matrix reading the trace leaves in place (the XLA
+        # concat alone measured ~2.5 ms/resample at N=1M)
         from ..ops.fused_gather import resample_gather_rows
-        bigT, parents = resample_gather_rows(big, F, has_index_row=True,
-                                             n_out=n_out)
+        arg = packed if packed else jnp.zeros((0, n_src), jnp.int32)
+        bigT, parents = resample_gather_rows(arg, F, n_out=n_out)
     out_leaves = _unpack_rows(bigT, leaves, meta, parents, m)
     return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
 
@@ -509,9 +513,10 @@ def _gather_traces_from_cu(traces, c, u):
     m = u.shape[0]
     rows, meta = _pack_rows(leaves, axes)
     packed = [r for r in rows if r is not None]
-    packed.append(jnp.arange(n_src, dtype=jnp.int32)[None, :])  # -> parents
-    big = jax.lax.optimization_barrier(jnp.concatenate(packed, axis=0))
-    if big.shape[0] > 1022:
+    d1 = sum(p.shape[0] for p in packed) + 1
+    if d1 > 1022:
+        big = jax.lax.optimization_barrier(jnp.concatenate(
+            packed + [jnp.arange(n_src, dtype=jnp.int32)[None, :]], axis=0))
         F = _pinned_F(_merge_count(c, u), m)
         if m != n_src:
             parents = _F_to_parents(F, m)
@@ -521,9 +526,10 @@ def _gather_traces_from_cu(traces, c, u):
             from ..ops.fused_gather import resample_gather_rows
             bigT, parents = resample_gather_rows(big, F, has_index_row=True)
     else:
+        # pieces passed unconcatenated (see _gather_traces_from_F)
         from ..ops.fused_gather import resample_gather_rows_u
-        bigT, parents = resample_gather_rows_u(big, c, u,
-                                               has_index_row=True)
+        arg = packed if packed else jnp.zeros((0, n_src), jnp.int32)
+        bigT, parents = resample_gather_rows_u(arg, c, u)
     out_leaves = _unpack_rows(bigT, leaves, meta, parents, m)
     return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
 

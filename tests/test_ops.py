@@ -336,3 +336,56 @@ def test_blockwise_compose_residual_matches_per_block():
     for k in range(K):
         pk = np.asarray(_F_to_parents(residual_F(keys[k], w[k]), b))
         np.testing.assert_array_equal(parents[k * b:(k + 1) * b], pk + k * b)
+
+
+def test_resample_gather_rows_pieces_interpret():
+    # pieces-list input (Pallas pack kernel assembles the matrix in place)
+    # must match the single-matrix path bit for bit
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows
+    n = 2048
+    widths = (10, 10, 1, 1, 7)
+    pieces = [jr.randint(jr.key(i), (w, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32) for i, w in enumerate(widths)]
+    big = jnp.concatenate(pieces, axis=0)
+    F = _F_from_weights(jr.key(n + 5), n)
+    out_ref_, parents_ref = resample_gather_rows(big, F, interpret=True)
+    out, parents = resample_gather_rows(pieces, F, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.asarray(parents_ref))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref_))
+
+
+def test_resample_gather_rows_u_pieces_interpret():
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows_u
+    n = 1000  # not a multiple of the pack block
+    widths = (9, 3, 1)
+    pieces = [jr.randint(jr.key(i + 50), (w, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32) for i, w in enumerate(widths)]
+    big = jnp.concatenate(pieces, axis=0)
+    w = jr.dirichlet(jr.key(60), jnp.ones(n) * 0.5)
+    cvec = jnp.cumsum(w)
+    cvec = cvec / cvec[-1]
+    u = jnp.sort(jr.uniform(jr.key(61), (n,), jnp.float32))
+    out_ref_, parents_ref = resample_gather_rows_u(big, cvec, u,
+                                                   interpret=True)
+    out, parents = resample_gather_rows_u(pieces, cvec, u, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.asarray(parents_ref))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref_))
+
+
+def test_resample_gather_rows_pieces_resize_interpret():
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows
+    from genparticlefilters_tpu.smc.resample import systematic_F
+    n, m = 2048, 1024
+    pieces = [jr.randint(jr.key(i + 9), (w, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32) for i, w in enumerate((5, 1))]
+    big = jnp.concatenate(pieces, axis=0)
+    w = jr.dirichlet(jr.key(70), jnp.ones(n))
+    F = systematic_F(jr.key(71), w, m)
+    out_ref_, parents_ref = resample_gather_rows(big, F, n_out=m,
+                                                 interpret=True)
+    out, parents = resample_gather_rows(pieces, F, n_out=m, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.asarray(parents_ref))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref_))
