@@ -266,7 +266,14 @@ def _pack_mat(pieces, brackets, r8: int, n_pad: int,
     d1 = sum(p.shape[0] for p in pieces) + 1
     fill = r8 - d1 - 2
     kern = _make_pack_kernel(len(pieces), fill, blk)
-    in_specs = ([pl.BlockSpec((p.shape[0], blk), lambda i: (0, i))
+    # the pieces are [w, n] with n < n_pad2: clamp their block index so no
+    # grid step maps to a FULLY out-of-bounds input block (a wholly-OOB
+    # block DMA faults the TPU worker; a partial edge block is fine). The
+    # duplicated tail lanes this reads are inert — the bracket rows (full
+    # n_pad2, in-bounds) carry never-matching brackets beyond n.
+    last_ok = max((n - 1) // blk, 0)
+    piece_idx = lambda i: (0, jnp.minimum(i, last_ok))
+    in_specs = ([pl.BlockSpec((p.shape[0], blk), piece_idx)
                  for p in pieces]
                 + [pl.BlockSpec((2, blk), lambda i: (0, i))])
     mat = pl.pallas_call(
