@@ -141,12 +141,15 @@ class Unfold(GenFn):
     int32; the trace always has static shape ``[max_steps, ...]`` with steps
     ``t >= t_active`` masked inactive.
 
-    The retval is the stacked sequence of carried states ``[max_steps, ...]``.
-    Invariant: the FINAL slot ``[-1]`` always equals the state carried out of
-    the last active step (so extension reads its carry with a static slice);
-    other slots at inactive steps are unspecified (full-scan interpreters
-    happen to repeat the last active state there, but the O(1) extension and
-    O(window) rejuvenation paths only maintain the final slot).
+    The retval is the stacked sequence of carried states ``[max_steps, ...]``:
+    slot ``t`` holds the state carried out of step ``t`` for every ACTIVE
+    step; slots at inactive steps (``t >= t_active``) are unspecified
+    (full-scan interpreters happen to repeat the last active state there;
+    the O(1) extension and O(window) rejuvenation paths leave them
+    untouched). Read the current carry as slot ``t_active - 1`` — on the
+    time-major layout that dynamic row read is O(N) and costs nothing to
+    maintain, unlike the earlier always-refreshed ``[-1]`` tail slot
+    (two extra tile-RMW row writes per extension step).
 
     Batched storage is TIME-MAJOR: across particles, stacked step/retval
     leaves carry the particle axis at position 1 (``[T, N, ...]``, lane-dense
@@ -514,10 +517,12 @@ class Unfold(GenFn):
         old_steps = tr.inner["steps"]
         dense = self._slice_cm(self._densify(constraints))
 
-        # carry state entering step t_old: the retval tail-repeat invariant
-        # means the LAST stacked column always equals the state at t_old-1,
-        # so a static [-1] slice replaces the one-hot masked read
-        prev_state = jax.tree_util.tree_map(lambda l: l[-1], tr.retval)
+        # carry state entering step t_old: read stacked retval row t_old-1
+        # (time-major makes this an O(N) lane-dense dynamic row read; the
+        # former [-1] tail-repeat invariant cost TWO extra tile-RMW row
+        # writes per step to maintain)
+        idx_prev = jnp.maximum(t_old - 1, 0)
+        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
         state = _tree_where(t_old > 0, prev_state, state0)
 
         steps = old_steps
@@ -540,14 +545,9 @@ class Unfold(GenFn):
                 kj, proto, (t, state) + params, step_c)
             state = new_step.retval
             steps = _tree_write_at(steps, t, _slim_steps(new_step), self.T)
-            # retvals: one O(N) row write per new step; the final step also
-            # refreshes the LAST row, which by invariant always carries the
-            # current state (rows in (t_new-1, T-1) are unspecified)
+            # retvals: one O(N) row write per new step (rows in
+            # [t_new, T-1) are unspecified; readers use row t-1, never [-1])
             retvals = _tree_write_at(retvals, t, state, self.T)
-            if j == int(k) - 1:
-                retvals = jax.tree_util.tree_map(
-                    lambda l, v: l.at[-1].set(jnp.asarray(v, l.dtype)),
-                    retvals, state)
             score_add = score_add + new_step.score
             logq = logq + logq_t
 
@@ -762,18 +762,12 @@ class Unfold(GenFn):
             lambda old, *vs: write_cols(old, vs), old_steps, *col_steps)
 
         col_states = [c[3] for c in cols]
-        last = delta["last_state"]
-
-        def write_retvals(old_leaf, last_v, *vs):
-            out = write_cols(old_leaf, vs)
-            # carry row: last row = state at t_old-1 (rows in (t_old-1, T-1)
-            # are unspecified, so only the invariant row needs refreshing)
-            new_last = _where_lead(accept, jnp.asarray(last_v, out.dtype),
-                                   out[-1])
-            return out.at[-1].set(new_last)
-
+        # the window rows themselves carry the updated states; rows in
+        # [t_old, T-1] are unspecified and readers use row t-1 dynamic
+        # reads (no [-1] tail row to maintain)
         retvals = jax.tree_util.tree_map(
-            write_retvals, tr.retval, last, *col_states)
+            lambda old_leaf, *vs: write_cols(old_leaf, vs),
+            tr.retval, *col_states)
         score = tr.score + jnp.where(accept, delta["score_delta"], 0.0)
         inner = _inner(steps, t_old)
         return Trace(self, delta["new_args"], retvals, score, inner)
@@ -839,11 +833,8 @@ class Unfold(GenFn):
                                     _tree_read_at(tr.retval, t_c, self.T),
                                     old_state)
 
-        # refresh the carry row (last row = state at t_old-1, the invariant
-        # extension reads); rows in (t_old-1, T-1) stay unspecified
-        retvals = jax.tree_util.tree_map(
-            lambda stk, last: stk.at[-1].set(jnp.asarray(last, stk.dtype)),
-            retvals, state)
+        # rows in [t_old, T-1] stay unspecified; readers use row t-1
+        # dynamic reads (no [-1] tail row to maintain)
         inner = _inner(steps, t_old)
         new_tr = Trace(self, new_args, retvals, tr.score + score_delta, inner)
         return new_tr, sel_new, sel_old
