@@ -126,8 +126,12 @@ def systematic_F(key, weights, n_out: int | None = None):
 
 def _sorted_uniforms_cum(key, n: int):
     """Cumulative exponential spacings ``ce`` [n+1]: the order statistics of
-    n Uniform(0,1) draws are ``ce[j]/ce[n]`` for j<n — O(n), no sort."""
-    return jnp.cumsum(jr.exponential(key, (n + 1,), jnp.float32))
+    n Uniform(0,1) draws are ``ce[j]/ce[n]`` for j<n — O(n), no sort.
+    cummax enforces the non-decreasing contract the bracket kernels rely
+    on (XLA's parallel-prefix cumsum is not locally monotone under f32
+    rounding; see multinomial_cu)."""
+    return jax.lax.cummax(jnp.cumsum(jr.exponential(key, (n + 1,),
+                                                    jnp.float32)))
 
 
 def _merge_count(c, u):
@@ -193,7 +197,14 @@ def multinomial_cu(key, weights, n_out: int | None = None):
     # c_prev < u — silently corrupting output slot 0; nudge it positive,
     # mirroring residual_F_fused's rc clamp
     u = jnp.maximum(ce[:-1] / ce[-1], 1e-37)
-    c = jnp.cumsum(weights)
+    # XLA's parallel-prefix cumsum is NOT guaranteed locally monotone under
+    # f32 rounding (observed at N=2^18 with degenerate weights): a tiny
+    # decrease makes bracket s+2 overlap bracket s, so one query matches
+    # TWO brackets and the byte-summed one-hot select corrupts that output
+    # slot. cummax restores non-decreasing brackets exactly (an inversion
+    # collapses to an empty bracket), the float analogue of _pinned_F's
+    # monotone enforcement on the count paths.
+    c = jax.lax.cummax(jnp.cumsum(weights))
     return c / jnp.maximum(c[-1], 1e-37), u
 
 
@@ -251,7 +262,10 @@ def residual_F_fused(key, weights, n_out: int | None = None,
     det = jnp.floor(scaled).astype(jnp.int32)
     n_res = n_out - jnp.sum(det)
     resid = scaled - det.astype(weights.dtype)
-    rcum = jnp.cumsum(resid)
+    # cummax: XLA's parallel-prefix cumsum is not locally monotone under
+    # f32 rounding; see multinomial_cu (the kernel needs non-decreasing
+    # brackets/queries)
+    rcum = jax.lax.cummax(jnp.cumsum(resid))
     rc = rcum / jnp.maximum(rcum[-1], 1e-37)
     # a query of exactly 0.0 (zero-residual prefix) matches no bracket at
     # all (the condition is strictly c_prev < q); nudge it to the smallest
@@ -600,7 +614,7 @@ def blockwise_compose(key, weights_blocks, method: str,
         det = jnp.floor(scaled).astype(jnp.int32)
         n_res = b - jnp.sum(det, axis=1)
         resid = scaled - det.astype(weights_blocks.dtype)
-        rcum = jnp.cumsum(resid, axis=1)
+        rcum = jax.lax.cummax(jnp.cumsum(resid, axis=1), axis=1)
         rc = rcum / jnp.maximum(rcum[:, -1:], 1e-37)
         rc = jnp.maximum(rc, max(K, 2) * 2.0 ** -22)
         ce = jax.vmap(lambda k: _sorted_uniforms_cum(k, b))(keys)
