@@ -46,7 +46,12 @@ def _lane_kernel_body(vals, onehot, acc):
     [4R, S] operand sharing one one-hot, so the MXU runs one full-row-
     occupancy [4R x S x B] int8 contraction instead of four quarter-
     occupancy [R x S x B] passes (R~56 uses 44% of the 128 MXU rows; 4R
-    uses ~88-100% — measured ~1.7x on the in-filter resample phase)."""
+    uses ~88-100% — measured ~1.7x on the in-filter resample phase).
+
+    ``vals`` rows are padded to a multiple of 32 (the int8 sublane tile)
+    by the callers' chunk buffers, so every concat boundary is
+    tile-aligned and the stacking is relayout-free; the padded rows carry
+    garbage that lands in accumulator rows the recombine never reads."""
     planes = [
         (jax.lax.bitwise_and(
             jax.lax.shift_right_logical(vals, shift), 0xFF)
@@ -58,15 +63,22 @@ def _lane_kernel_body(vals, onehot, acc):
         preferred_element_type=jnp.int32)
 
 
-def _lane_kernel_out(acc, r8, d_out):
-    """Recombine the stacked byte-plane accumulator [4*r8, B] into int32
-    output rows [d_out, B] (undoing the -128 bias)."""
+def _lane_kernel_out(acc, r32, d_out):
+    """Recombine the stacked byte-plane accumulator [4*r32, B] into int32
+    output rows [d_out, B] (undoing the -128 bias); ``r32`` is the padded
+    per-plane row stride."""
     out = jnp.zeros((d_out, acc.shape[1]), jnp.int32)
     for k, shift in enumerate((0, 8, 16, 24)):
-        byte = jax.lax.bitwise_and(acc[k * r8:k * r8 + d_out, :] + 128,
+        byte = jax.lax.bitwise_and(acc[k * r32:k * r32 + d_out, :] + 128,
                                    0xFF)
         out = out | jax.lax.shift_left(byte, shift)
     return out
+
+
+def _r32(r8: int) -> int:
+    """Chunk-buffer row count: r8 padded to the int8 sublane tile (32) so
+    the four byte planes concat at tile-aligned boundaries."""
+    return -(-r8 // 32) * 32
 
 
 def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
@@ -88,7 +100,7 @@ def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
     # for resampling-shaped ranges)
     lo_al = (lo // 128) * 128
     n_chunks = (hi - lo_al) // _SL + 1
-    r8 = chunk_ref.shape[1]
+    r8 = out_ref.shape[0]
     rfp = r8 - 2  # F_prev row; F row is r8-1
 
     j_col = i * _BL + jax.lax.broadcasted_iota(jnp.int32, (_BL, 1), 0)
@@ -98,7 +110,7 @@ def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
     def dma(c, buf):
         return pltpu.make_async_copy(
             src_ref.at[:, pl.ds(lo_al + c * _SL, _SL)],
-            chunk_ref.at[buf], sem.at[buf])
+            chunk_ref.at[buf, :r8], sem.at[buf])
 
     dma(0, 0).start()
 
@@ -118,7 +130,7 @@ def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-    out_ref[:] = _lane_kernel_out(acc, r8, out_ref.shape[0])
+    out_ref[:] = _lane_kernel_out(acc, chunk_ref.shape[1], out_ref.shape[0])
 
 
 def _kernel_stairs_lanes_u(bases_ref, u_ref, src_ref, out_ref,
@@ -141,7 +153,7 @@ def _kernel_stairs_lanes_u(bases_ref, u_ref, src_ref, out_ref,
     # for resampling-shaped ranges)
     lo_al = (lo // 128) * 128
     n_chunks = (hi - lo_al) // _SL + 1
-    r8 = chunk_ref.shape[1]
+    r8 = out_ref.shape[0]
     rcp = r8 - 2  # c_prev row; c row is r8-1
 
     u_col = u_ref[...].astype(jnp.float32)        # [B, 1]
@@ -151,7 +163,7 @@ def _kernel_stairs_lanes_u(bases_ref, u_ref, src_ref, out_ref,
     def dma(c, buf):
         return pltpu.make_async_copy(
             src_ref.at[:, pl.ds(lo_al + c * _SL, _SL)],
-            chunk_ref.at[buf], sem.at[buf])
+            chunk_ref.at[buf, :r8], sem.at[buf])
 
     dma(0, 0).start()
 
@@ -172,7 +184,7 @@ def _kernel_stairs_lanes_u(bases_ref, u_ref, src_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-    out_ref[:] = _lane_kernel_out(acc, r8, out_ref.shape[0])
+    out_ref[:] = _lane_kernel_out(acc, chunk_ref.shape[1], out_ref.shape[0])
 
 
 def _kernel_clustered_lanes(parents_ref, src_ref, out_ref,
@@ -190,14 +202,14 @@ def _kernel_clustered_lanes(parents_ref, src_ref, out_ref,
     lo_al = (lo // 128) * 128
     n_chunks = (hi - lo_al) // _SL + 1
     p_col = pvec[:, None]                         # [B, 1]
-    r8 = chunk_ref.shape[1]
+    r8 = out_ref.shape[0]
 
     acc[:] = jnp.zeros_like(acc)
 
     def dma(c, buf):
         return pltpu.make_async_copy(
             src_ref.at[:, pl.ds(lo_al + c * _SL, _SL)],
-            chunk_ref.at[buf], sem.at[buf])
+            chunk_ref.at[buf, :r8], sem.at[buf])
 
     dma(0, 0).start()
 
@@ -217,7 +229,7 @@ def _kernel_clustered_lanes(parents_ref, src_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-    out_ref[:] = _lane_kernel_out(acc, r8, out_ref.shape[0])
+    out_ref[:] = _lane_kernel_out(acc, chunk_ref.shape[1], out_ref.shape[0])
 
 
 def _pad_lanes(mat, n_pad, fill=0):
@@ -358,8 +370,8 @@ def resample_gather_rows(big, F, has_index_row: bool = False,
             in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
             out_specs=pl.BlockSpec((r8, _BL), lambda i, bases: (0, i)),
             scratch_shapes=[
-                pltpu.VMEM((2, r8, _SL), jnp.int32),
-                pltpu.VMEM((4 * r8, _BL), jnp.int32),
+                pltpu.VMEM((2, _r32(r8), _SL), jnp.int32),
+                pltpu.VMEM((4 * _r32(r8), _BL), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -459,8 +471,8 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
             ],
             out_specs=pl.BlockSpec((r8, _BL), lambda i, bases: (0, i)),
             scratch_shapes=[
-                pltpu.VMEM((2, r8, _SL), jnp.int32),
-                pltpu.VMEM((4 * r8, _BL), jnp.int32),
+                pltpu.VMEM((2, _r32(r8), _SL), jnp.int32),
+                pltpu.VMEM((4 * _r32(r8), _BL), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -502,8 +514,8 @@ def gather_rows_clustered(big, parents, interpret: bool = False):
         out_specs=pl.BlockSpec((r8, _BL), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, r8, _SL), jnp.int32),
-            pltpu.VMEM((4 * r8, _BL), jnp.int32),
+            pltpu.VMEM((2, _r32(r8), _SL), jnp.int32),
+            pltpu.VMEM((4 * _r32(r8), _BL), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
