@@ -392,7 +392,9 @@ def _unpack_rows(big, leaves, meta, parents, n):
     return out_leaves
 
 
-_ASSUME_UNPARTITIONED = []
+import threading as _threading
+
+_ASSUME_UNPARTITIONED = _threading.local()  # .stack: per-thread flag stack
 
 
 class assume_unpartitioned:
@@ -402,14 +404,19 @@ class assume_unpartitioned:
     Pallas paths — a ``pallas_call`` inside ``shard_map`` runs on exactly
     its local shard, which is precisely the blockwise-resampling semantics.
     Never use outside a shard_map body (or a provably single-device
-    region)."""
+    region). The flag is thread-local: concurrent tracing in another
+    thread (e.g. a global resample on sharded inputs while a shard_map
+    body traces here) must not see this context's assumption."""
 
     def __enter__(self):
-        _ASSUME_UNPARTITIONED.append(True)
+        stack = getattr(_ASSUME_UNPARTITIONED, "stack", None)
+        if stack is None:
+            stack = _ASSUME_UNPARTITIONED.stack = []
+        stack.append(True)
         return self
 
     def __exit__(self, *exc):
-        _ASSUME_UNPARTITIONED.pop()
+        _ASSUME_UNPARTITIONED.stack.pop()
         return False
 
 
@@ -431,7 +438,7 @@ def _maybe_partitioned(x) -> bool:
     conservative: assume partitioned whenever >1 device exists, so an
     inconclusive answer can never re-enable the Pallas path on sharded
     inputs."""
-    if _ASSUME_UNPARTITIONED:
+    if getattr(_ASSUME_UNPARTITIONED, "stack", None):
         return False
     s = getattr(x, "sharding", None)
     if s is not None:
@@ -605,7 +612,13 @@ def blockwise_compose(key, weights_blocks, method: str,
         return "F", (F + offs).reshape(K * b)
     if method == "multinomial":
         c, u = jax.vmap(multinomial_cu)(keys, weights_blocks)
-        u = jnp.maximum(u, max(K, 2) * 2.0 ** -23)
+        # clamp >= K*2^-21 (not 2^-23): with ~1 ulp of margin, (k+u)*invK
+        # and the block boundary k*invK can still round to EQUAL f32 values
+        # for k near K at non-power-of-two K, so the strict c_prev < u
+        # bracket condition would match nothing (corrupt 0x80808080 slot).
+        # 2^-21 leaves >= 4 ulps after the rescale; matches the residual
+        # path's margin (2^-22 before its extra halving).
+        u = jnp.maximum(u, max(K, 2) * 2.0 ** -21)
         cg = ((kf + c) * invK).reshape(K * b)
         ug = ((kf + u) * invK).reshape(K * b)
         return "cu", (cg, ug)

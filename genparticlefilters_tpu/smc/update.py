@@ -132,6 +132,21 @@ def pf_update(key, state, new_args=None, argdiffs=None,
             from ..core.gfi import batched_interpretation
             with batched_interpretation(n):
                 new_traces, ws = translator(key, traces, **tkw)
+                from .. import config as _config
+                if _config.check_batched_layout:
+                    # same leading-dim==N collision guard as the batched
+                    # default-proposal path below (ADVICE r4): the
+                    # translator runs a full [N]-wide interpretation, so
+                    # an unbatched model value with leading dim N is just
+                    # as silently misread here
+                    from ..core.batching import (check_batched_layout,
+                                                 unbatch_avals, axes_spec)
+                    pp_traces = unbatch_avals(traces, axes_spec(traces))
+                    check_batched_layout(
+                        new_traces,
+                        lambda tr: translator(key, tr, **tkw)[0],
+                        n, context="pf_update (batched translator)",
+                        eval_args=(pp_traces,))
             return scatter(new_traces, log_weights + ws + log_nk)
         if per_particle is None:
             def one(k, tr):

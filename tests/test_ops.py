@@ -321,6 +321,41 @@ def test_blockwise_compose_multinomial_matches_per_block():
                                   np.asarray(jnp.take(big, parents, axis=1)))
 
 
+@pytest.mark.parametrize("K", [3, 5, 7, 12])
+def test_blockwise_compose_multinomial_boundary_collapse(K):
+    # directed boundary test (ADVICE r4): at non-power-of-two K the rescale
+    # (k + u)*invK can round ONTO the block boundary k*invK when u carries
+    # only ~1 ulp of margin, so the strict c_prev < u bracket condition
+    # matches nothing and the kernel emits the corrupt 0x80808080 slot.
+    # Build the composed brackets with every uniform forced to the clamp
+    # minimum (the worst case the clamp must protect) and assert every
+    # parent lands inside its own block with sane data.
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows_u
+    b = 128
+    n = K * b
+    umin = max(K, 2) * 2.0 ** -21          # the clamp floor
+    kf = jnp.arange(K, dtype=jnp.float32)[:, None]
+    invK = 1.0 / float(K)
+    # per-block c ascending from ~0 (first weight tiny: c_0 well below the
+    # clamp floor, so slot 0 must land on bracket 0 only via the clamp);
+    # per-block u all at the clamp floor -> every composed query sits as
+    # close to its block boundary as the clamp allows
+    c = jnp.linspace(1.0 / b, 1.0, b, dtype=jnp.float32)[None, :]
+    c = jnp.broadcast_to(c, (K, b)).at[:, 0].set(2.0 ** -25)
+    u = jnp.full((K, b), umin, jnp.float32)
+    cg = ((kf + c) * invK).reshape(n)
+    ug = ((kf + u) * invK).reshape(n)
+    big = jr.randint(jr.key(99), (3, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    out, parents = resample_gather_rows_u(big, cg, ug, interpret=True)
+    parents = np.asarray(parents)
+    blocks = parents // b
+    np.testing.assert_array_equal(
+        blocks, np.repeat(np.arange(K), b),
+        err_msg="a composed query crossed (or missed) its block boundary")
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(jnp.take(big, parents, axis=1)))
+
+
 def test_blockwise_compose_residual_matches_per_block():
     # composed role-swapped remainder pass == per-block residual_F counts
     from genparticlefilters_tpu.smc.resample import (
