@@ -219,23 +219,37 @@ def check_batched_layout(batched_tree, per_particle_fn, n: int,
     """
     from .gfi import batched_interpretation
 
+    def canonical(tr):
+        # the storage-representation-free logical view (packed step
+        # storages materialize): choice VALUES by address + retval + score.
+        ch = tr.get_choices()
+        return ({k: e.value for k, e in ch.entries.items()},
+                tr.get_retval(), tr.score)
+
     def suspended(*xs):
         with batched_interpretation(None):
-            return per_particle_fn(*xs)
+            return canonical(per_particle_fn(*xs))
 
-    pp_tree = jax.eval_shape(suspended, *eval_args)
-    leaves, treedef = jax.tree_util.tree_flatten(batched_tree)
-    try:
-        pp_leaves = treedef.flatten_up_to(pp_tree)
-    except ValueError as e:
+    pp_ch, pp_rv, pp_sc = jax.eval_shape(suspended, *eval_args)
+    b_ch, b_rv, b_sc = jax.eval_shape(canonical, batched_tree)
+    if set(pp_ch) != set(b_ch):
         raise ValueError(
             f"{context}: batched and per-particle interpretations produced "
-            f"different trace STRUCTURES — a model value whose leading dim "
-            f"equals the particle count n={n} was likely misread as "
+            f"different choice ADDRESS SETS — a model value whose leading "
+            f"dim equals the particle count n={n} was likely misread as "
             f"per-particle (see core/gfi.py batchedness convention). "
-            f"Underlying: {e}") from e
-    axes = treedef.flatten_up_to(axes_spec(batched_tree))
-    for i, (bl, pl, ax) in enumerate(zip(leaves, pp_leaves, axes)):
+            f"Batched-only: {sorted(set(b_ch) - set(pp_ch))}; "
+            f"per-particle-only: {sorted(set(pp_ch) - set(b_ch))}")
+    ch_ax = choice_axes(batched_tree.gen_fn, batched_tree)
+    items = [(f"choice {k}", b_ch[k], pp_ch[k],
+              _leaf_axis(b_ch[k], ch_ax.get(k, 0), n)) for k in b_ch]
+    rv_spec = batched_tree.gen_fn.retval_axes(batched_tree)
+    b_rl, rtd = jax.tree_util.tree_flatten(b_rv)
+    items += [(f"retval leaf {i}", bl, pl, ax) for i, (bl, pl, ax) in
+              enumerate(zip(b_rl, rtd.flatten_up_to(pp_rv),
+                            rtd.flatten_up_to(rv_spec)))]
+    items.append(("score", b_sc, pp_sc, 0))
+    for name, bl, pl, ax in items:
         bs = tuple(jnp.shape(bl))
         ps = tuple(jnp.shape(pl))
         if ax is None:
@@ -246,7 +260,7 @@ def check_batched_layout(batched_tree, per_particle_fn, n: int,
             ok = bs == want
         if not ok:
             raise ValueError(
-                f"{context}: trace leaf {i} has batched shape {bs} but the "
+                f"{context}: {name} has batched shape {bs} but the "
                 f"per-particle interpretation implies {want} "
                 f"(per-particle shape {ps}, particle axis "
                 f"{'shared' if ax is None else ax}, n={n}). A model value "

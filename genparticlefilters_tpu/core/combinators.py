@@ -26,6 +26,8 @@ from jax import lax
 from .choicemap import ChoiceMap, Entry, Selection, EMPTY
 from .gfi import (GenFn, Trace, UnknownChange, current_batch, _to_batch,
                   batched_interpretation)
+from .packed import (StepStorage, make_storage, unpack_tree, read_step,
+                     write_steps, zeros_column, pack_column)
 
 __all__ = ["Unfold", "MapCombinator"]
 
@@ -35,16 +37,19 @@ def _tree_where(cond, a, b):
         lambda x, y: jnp.where(cond, x, y), a, b)
 
 
-def _inner(steps, t, outer_mask=True):
-    """Unfold trace payload. The ``outer_mask`` key exists ONLY when the
-    mask is non-trivial: a Python ``True`` stored as a pytree leaf would be
+def _inner(store, t, outer_mask=True):
+    """Unfold trace payload: the packed step storage
+    (:class:`~.packed.StepStorage`, holding BOTH the stacked step choices
+    and the stacked retval carries — see core/packed.py) plus the traced
+    active length. The ``outer_mask`` key exists ONLY when the mask is
+    non-trivial: a Python ``True`` stored as a pytree leaf would be
     canonicalized to a traced array by any jit/scan boundary, silently
     failing the ``is True`` static gates (and with them the O(1) Extend and
     O(window) regenerate fast paths) for every state carried through
     ``lax.scan`` — the absent-key form keeps "unmasked" in the treedef."""
     if outer_mask is True:
-        return {"steps": steps, "t": t}
-    return {"steps": steps, "t": t, "outer_mask": outer_mask}
+        return {"store": store, "t": t}
+    return {"store": store, "t": t, "outer_mask": outer_mask}
 
 
 def _outer_mask(tr):
@@ -130,6 +135,12 @@ def _slim_steps(steps: Trace) -> Trace:
     slimmed stack minus its leading axis."""
     score = jnp.zeros(jnp.shape(steps.score) + (0,), jnp.float32)
     return Trace(steps.gen_fn, (), None, score, steps.inner)
+
+
+def _col_tree(steps_col, state):
+    """Per-step logical column: the slimmed step trace + the retval carry
+    (the two live side by side in the packed storage)."""
+    return {"retval": state, "steps": steps_col}
 
 
 class Unfold(GenFn):
@@ -321,6 +332,36 @@ class Unfold(GenFn):
         return lax.cond(active, lambda op: run_fn(*op),
                         lambda op: zeros, operands)
 
+    # -- packed storage plumbing (core/packed.py) -------------------------
+    def _make_store(self, slim_steps, states, b) -> StepStorage:
+        """Pack scan-stacked (slimmed) step traces + stacked retval carries
+        into the [T*R, N] step storage. ``b`` = current batch (None under
+        per-particle/vmapped interpretation)."""
+        from .batching import gen_spec, perparticle_specs
+        logical = _col_tree(slim_steps, states)
+        if b is None:
+            with perparticle_specs():
+                spec = _col_tree(self.step.trace_axes(slim_steps, 1),
+                                 gen_spec(states, 1, None))
+            return make_storage(logical, spec, self.T, batched=False)
+        spec = _col_tree(self.step.trace_axes(slim_steps, 1),
+                         gen_spec(states, 1, b))
+        return make_storage(logical, spec, self.T, batched=True)
+
+    @staticmethod
+    def _steps_of(tr: Trace):
+        """Materialized stacked step trace (cold paths only: choicemaps,
+        full-scan discard construction; under jit unused leaves are DCE'd)."""
+        return unpack_tree(tr.inner["store"])["steps"]
+
+    @staticmethod
+    def _retvals_of(tr: Trace):
+        """Materialized stacked retval carries [T, ...]."""
+        return unpack_tree(tr.inner["store"])["retval"]
+
+    def trace_retval(self, tr: Trace):
+        return self._retvals_of(tr)
+
     # -- GFI --------------------------------------------------------------
     def simulate(self, key, args):
         t_active, state0, params = self._split_args(args)
@@ -334,14 +375,15 @@ class Unfold(GenFn):
             tr = self._skip_inactive(
                 a, lambda k_, s_, t_: self.step.simulate(k_, (t_, s_) + params),
                 (k, state, t))
-            new_state = _tree_where(a, tr.retval, state)
+            new_state = _tree_where(a, tr.get_retval(), state)
             return new_state, (tr, new_state)
 
         _, (steps, states) = lax.scan(body, state0, ts)
         active = self._active_tb(t_active, True, b)
         score = _reduce_steps(steps.score, active, b)
-        inner = _inner(_slim_steps(steps), t_active)
-        return Trace(self, args, states, score, inner)
+        inner = _inner(self._make_store(_slim_steps(steps), states, b),
+                       t_active)
+        return Trace(self, args, None, score, inner)
 
     def _empty_trace(self, key, args, constraints: ChoiceMap = EMPTY):
         """A t_active=0 trace (all steps inactive): structural zeros built
@@ -386,15 +428,16 @@ class Unfold(GenFn):
                 a, lambda k_, s_, t_, c_: self.step.generate(
                     k_, (t_, s_) + params, c_),
                 (k, state, t, step_c))
-            new_state = _tree_where(a, tr.retval, state)
+            new_state = _tree_where(a, tr.get_retval(), state)
             return new_state, (tr, new_state, w)
 
         _, (steps, states, ws) = lax.scan(body, state0, (ts, dense))
         active = self._active_tb(t_active, True, b)
         score = _reduce_steps(steps.score, active, b)
         weight = _reduce_steps(ws, active, b)
-        inner = _inner(_slim_steps(steps), t_active)
-        return Trace(self, args, states, score, inner), weight
+        inner = _inner(self._make_store(_slim_steps(steps), states, b),
+                       t_active)
+        return Trace(self, args, None, score, inner), weight
 
     def assess(self, args, choices: ChoiceMap):
         t_active, state0, params = self._split_args(args)
@@ -452,14 +495,15 @@ class Unfold(GenFn):
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
         outer_mask = _outer_mask(tr)
-        old_steps = tr.inner["steps"]
+        old_store = tr.inner["store"]
         dense = self._slice_cm(self._densify(constraints))
         b = current_batch()
         state0 = _batch_state0(state0, b)
         ts = jnp.arange(self.T, dtype=jnp.int32)
 
         def body(state, xs):
-            t, old_step, step_c = xs
+            t, step_c = xs
+            old_step = read_step(old_store, t)["steps"]
             a_old = t < t_old
             if outer_mask is not True:
                 a_old = jnp.logical_and(a_old, outer_mask)
@@ -468,11 +512,11 @@ class Unfold(GenFn):
             new_step, logq_t, disc_t = self.step._update(
                 k, masked_old, (t, state) + params, step_c)
             a_new = t < t_new
-            state = _tree_where(a_new, new_step.retval, state)
+            state = _tree_where(a_new, new_step.get_retval(), state)
             return state, (new_step, state, logq_t, disc_t)
 
         _, (steps, states, logqs, disc) = lax.scan(
-            body, state0, (ts, old_steps, dense))
+            body, state0, (ts, dense))
         a_new = self._active_tb(t_new, True, b)
         a_old = self._active_tb(t_old, outer_mask, b)
         if b is not None and jnp.ndim(a_old) > jnp.ndim(a_new):
@@ -488,14 +532,15 @@ class Unfold(GenFn):
             disc_entries[k2] = Entry(
                 e.value, _and_lead(e.mask, a_new, jnp.ndim(e.value)))
         shrink = jnp.logical_and(a_old, jnp.logical_not(a_new))
-        old_choices = self.step.trace_choices(old_steps)
+        old_choices = self.step.trace_choices(self._steps_of(tr))
         shrink_cm_entries = {}
         for k2, e in old_choices.entries.items():
             shrink_cm_entries[k2] = Entry(
                 e.value, _and_lead(e.mask, shrink, jnp.ndim(e.value)))
         discard = ChoiceMap(disc_entries).merge(ChoiceMap(shrink_cm_entries))
-        inner = _inner(_slim_steps(steps), t_new)
-        new_tr = Trace(self, new_args, states, score, inner)
+        inner = _inner(self._make_store(_slim_steps(steps), states, b),
+                       t_new)
+        new_tr = Trace(self, new_args, None, score, inner)
         # adjust logq: caller computes weight = new.score - old.score - logq,
         # where old.score was computed with the *old* masks. Consistent.
         return new_tr, logq, discard
@@ -514,45 +559,39 @@ class Unfold(GenFn):
                 raise ValueError(
                     f"Extend({k}) would grow the Unfold past max_steps="
                     f"{self.T} (new active length {int(t_new)})")
-        old_steps = tr.inner["steps"]
+        old_store = tr.inner["store"]
         dense = self._slice_cm(self._densify(constraints))
 
-        # carry state entering step t_old: read stacked retval row t_old-1
-        # (time-major makes this an O(N) lane-dense dynamic row read; the
-        # former [-1] tail-repeat invariant cost TWO extra tile-RMW row
-        # writes per step to maintain)
+        # carry state entering step t_old: the retval rows of packed slab
+        # t_old-1 (one O(N) lane-dense dynamic row-slab read)
         idx_prev = jnp.maximum(t_old - 1, 0)
-        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
+        prev_state = read_step(old_store, idx_prev)["retval"]
         state = _tree_where(t_old > 0, prev_state, state0)
 
-        steps = old_steps
-        retvals = tr.retval
         score_add = jnp.asarray(0.0, jnp.float32)
         logq = jnp.asarray(0.0, jnp.float32)
         # proto: a structurally identical step trace masked fully absent —
-        # values never matter under a False mask, so build it from zeros
-        # instead of reading a column of old_steps (saves one full pass
-        # over the stacked step leaves per extension)
-        proto = self.step.mask_trace(
-            jax.tree_util.tree_map(
-                lambda l: jnp.zeros(l.shape[1:], l.dtype), old_steps),
-            False)
+        # values never matter under a False mask, so build it from layout
+        # zeros instead of reading a column of the store (saves one slab
+        # read per extension)
+        proto = self.step.mask_trace(zeros_column(old_store)["steps"], False)
+        cols = []
         for j in range(int(k)):
             t = t_old + j
             step_c = _tree_read_at(dense, t, self.T)
             kj = jr.fold_in(key, t)
             new_step, logq_t, _ = self.step._update(
                 kj, proto, (t, state) + params, step_c)
-            state = new_step.retval
-            steps = _tree_write_at(steps, t, _slim_steps(new_step), self.T)
-            # retvals: one O(N) row write per new step (rows in
-            # [t_new, T-1) are unspecified; readers use row t-1, never [-1])
-            retvals = _tree_write_at(retvals, t, state, self.T)
+            state = new_step.get_retval()
+            cols.append(_col_tree(_slim_steps(new_step), state))
             score_add = score_add + new_step.score
             logq = logq + logq_t
 
-        inner = _inner(steps, t_new)
-        new_tr = Trace(self, new_args, retvals, tr.score + score_add, inner)
+        # ONE [k*R, N] aligned slab write for choices AND retval carries
+        # (was: one tile-RMW row write per leaf per step)
+        store = write_steps(old_store, t_old, cols)
+        inner = _inner(store, t_new)
+        new_tr = Trace(self, new_args, None, tr.score + score_add, inner)
         return new_tr, logq, ChoiceMap({})
 
     def _old_prev_states(self, tr: Trace, fallback_state0, fallback_params,
@@ -571,7 +610,7 @@ class Unfold(GenFn):
             lambda stk, s0: jnp.concatenate(
                 [jnp.broadcast_to(jnp.asarray(s0, stk.dtype),
                                   stk[:1].shape), stk[:-1]], axis=0),
-            tr.retval, old_state0)
+            self._retvals_of(tr), old_state0)
         return old_prev, old_params
 
     def _regenerate(self, key, tr: Trace, new_args, selection: Selection,
@@ -584,7 +623,7 @@ class Unfold(GenFn):
         state0 = _batch_state0(state0, b)
         t_old = tr.inner["t"]
         outer_mask = _outer_mask(tr)
-        old_steps = tr.inner["steps"]
+        old_store = tr.inner["store"]
         old_prev, old_params = self._old_prev_states(tr, state0, params,
                                                      old_args=old_args)
         dsel, sel_static = self._slice_sel(self._densify_selection(selection))
@@ -592,10 +631,11 @@ class Unfold(GenFn):
 
         def body(state, xs):
             if sel_static:
-                t, old_step, old_prev_t = xs
+                t, old_prev_t = xs
                 step_sel = dsel
             else:
-                t, old_step, old_prev_t, step_sel = xs
+                t, old_prev_t, step_sel = xs
+            old_step = read_step(old_store, t)["steps"]
             a_old = t < t_old
             if outer_mask is not True:
                 a_old = jnp.logical_and(a_old, outer_mask)
@@ -606,18 +646,19 @@ class Unfold(GenFn):
                 old_args=(t, old_prev_t) + old_params,
                 need_sel_old=need_sel_old)
             a_new = t < t_new
-            state = _tree_where(a_new, new_step.retval, state)
+            state = _tree_where(a_new, new_step.get_retval(), state)
             return state, (new_step, state, sn_t, so_t)
 
-        xs = ((ts, old_steps, old_prev) if sel_static
-              else (ts, old_steps, old_prev, dsel))
+        xs = ((ts, old_prev) if sel_static
+              else (ts, old_prev, dsel))
         _, (steps, states, sns, sos) = lax.scan(body, state0, xs)
         a_new = self._active_tb(t_new, True, b)
         score = _reduce_steps(steps.score, a_new, b)
         sel_new = _reduce_steps(sns, a_new, b)
         sel_old = _reduce_steps(sos, a_new, b)
-        inner = _inner(_slim_steps(steps), t_new)
-        return Trace(self, new_args, states, score, inner), sel_new, sel_old
+        inner = _inner(self._make_store(_slim_steps(steps), states, b),
+                       t_new)
+        return Trace(self, new_args, None, score, inner), sel_new, sel_old
 
     def regenerate_delta(self, key, tr: Trace, new_args, argdiffs,
                          selection: Selection, window=None):
@@ -639,12 +680,12 @@ class Unfold(GenFn):
         k = int(window)
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
-        old_steps = tr.inner["steps"]
+        old_store = tr.inner["store"]
         dsel, _ = self._slice_sel(self._densify_selection(selection))
 
         t_start = t_old - k
         idx_prev = jnp.maximum(t_start - 1, 0)
-        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
+        prev_state = read_step(old_store, idx_prev)["retval"]
         state = _tree_where(t_start > 0, prev_state, state0)
         # old carry entering each window step: the stored stacked retval at
         # j=0 when t_start>0, else the OLD args' state0 (new state0 would
@@ -664,7 +705,8 @@ class Unfold(GenFn):
             t = t_start + j
             t_c = jnp.clip(t, 0, self.T - 1)
             active_j = jnp.logical_and(t >= 0, t < t_old)
-            old_step = _tree_read_at(old_steps, t_c, self.T)
+            old_col = read_step(old_store, t_c)
+            old_step = old_col["steps"]
             step_sel = (dsel if dsel.all_ else Selection(
                 {k2: (m if isinstance(m, bool) else
                       _onehot_read(jnp.asarray(m), t_c, self.T))
@@ -683,16 +725,14 @@ class Unfold(GenFn):
                 lambda new, old: jnp.where(active_j, jnp.asarray(
                     new, jnp.asarray(old).dtype), old),
                 _slim_steps(new_step), old_step)
-            new_state = _tree_where(active_j, new_step.retval, state)
+            new_state = _tree_where(active_j, new_step.get_retval(), state)
             cols.append((t_c, active_j, new_col, new_state))
             score_delta = score_delta + jnp.where(
                 active_j, new_step.score - old_score_t, 0.0)
             sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
             sel_old = sel_old + jnp.where(active_j, so_t, 0.0)
             state = new_state
-            old_state = _tree_where(active_j,
-                                    _tree_read_at(tr.retval, t_c, self.T),
-                                    old_state)
+            old_state = _tree_where(active_j, old_col["retval"], old_state)
 
         delta = {"cols": cols, "t_old": t_old, "last_state": state,
                  "score_delta": score_delta, "new_args": new_args}
@@ -714,63 +754,68 @@ class Unfold(GenFn):
         # with t_c - s in [0, k).
         slab_s = jnp.clip(t_old - k, 0, max(self.T - k, 0))
 
-        def write_cols(old_leaf, col_vals):
-            # ONE k-row dynamic slice + accept-masked selects + ONE k-row
-            # dynamic update per leaf, instead of k single-row read/write
-            # pairs: a [1, N] row write into an (8,128)-tiled [T, N] buffer
-            # pays a full 8-sublane tile read-modify-write, so fusing the
-            # contiguous window rows into one slab op divides that
-            # amplification by k (the window rejuvenation phase measured
-            # ~0.29 ms/step at N=100K, write-bound). ``accept`` may be a
-            # per-particle [b] mask (batched interpretation), lead-aligned
-            # against the row axes.
+        store = tr.inner["store"]
+        lo = store.layout
+        R = lo.R
+        batched = store.batched
+        acc = jnp.asarray(accept)
+
+        # pack each column ONCE; all accept/active selection then runs on
+        # [R, N] slabs where the particle axis is uniformly on lanes — one
+        # [k*R, N] aligned read + one write on the packed matrix replaces
+        # the per-leaf tile-RMW row writes of the unpacked layout. The
+        # window rows carry the updated retval carries too (rows in
+        # [t_old, T-1] stay unspecified; readers use row t-1 dynamic reads).
+        packed_cols = []
+        for (t_c, active_j, col, state) in cols:
+            cslab, extra_cols = pack_column(store, _col_tree(col, state))
+            packed_cols.append((t_c, active_j, cslab, extra_cols))
+
+        mat = store.mat
+        if mat is not None:
             if k > self.T:
-                out = old_leaf
-                for (t_c, active_j, _, _), v in zip(cols, col_vals):
-                    take = jnp.logical_and(accept, active_j)
-                    old_row = _onehot_read(out, t_c, self.T)
-                    new_row = _where_lead(take, jnp.asarray(v, out.dtype),
-                                          old_row)
-                    out = _onehot_write(out, t_c, new_row, self.T)
-                return out
-            slab = lax.dynamic_slice_in_dim(old_leaf, slab_s, k, axis=0)
-            r_idx = jnp.arange(k, dtype=jnp.int32)
-            for (t_c, active_j, _, _), v in zip(cols, col_vals):
-                take = jnp.asarray(jnp.logical_and(accept, active_j))
-                rowmask = r_idx == (t_c - slab_s)
-                cond = rowmask.reshape((k,) + (1,) * (slab.ndim - 1))
-                row_nd = slab.ndim - 1
-                if take.ndim > row_nd:
-                    # shared leaf (no particle axis): both sides hold the
-                    # same kept-old value (same convention as _where_lead),
-                    # so the row select alone suffices
-                    pass
-                elif take.ndim > 0:
-                    cond = jnp.logical_and(
-                        cond, take.reshape((1,) + take.shape + (1,) * (
-                            row_nd - take.ndim)))
-                else:
-                    cond = jnp.logical_and(cond, take)
-                slab = jnp.where(cond, jnp.asarray(v, slab.dtype)[None],
-                                 slab)
-            return lax.dynamic_update_slice_in_dim(old_leaf, slab, slab_s,
-                                                   axis=0)
+                for (t_c, active_j, cslab, _) in packed_cols:
+                    take = jnp.logical_and(acc, active_j)
+                    start = (t_c * R, 0) if batched else (t_c * R,)
+                    old_slab = lax.dynamic_slice(mat, start, cslab.shape)
+                    sel = (take[None, :] if batched and take.ndim == 1
+                           else take)
+                    mat = lax.dynamic_update_slice(
+                        mat, jnp.where(sel, cslab, old_slab), start)
+            else:
+                start = (slab_s * R, 0) if batched else (slab_s * R,)
+                big_shape = ((k * R, mat.shape[1]) if batched
+                             else (k * R,))
+                big = lax.dynamic_slice(mat, start, big_shape)
+                for (t_c, active_j, cslab, _) in packed_cols:
+                    take = jnp.logical_and(acc, active_j)
+                    sel = (take[None, :] if batched and take.ndim == 1
+                           else take)
+                    off = ((t_c - slab_s) * R, 0) if batched \
+                        else ((t_c - slab_s) * R,)
+                    old_slab = lax.dynamic_slice(big, off, cslab.shape)
+                    big = lax.dynamic_update_slice(
+                        big, jnp.where(sel, cslab, old_slab), off)
+                mat = lax.dynamic_update_slice(mat, big, start)
 
-        old_steps = tr.inner["steps"]
-        col_steps = [c[2] for c in cols]
-        steps = jax.tree_util.tree_map(
-            lambda old, *vs: write_cols(old, vs), old_steps, *col_steps)
+        # extras (values shared across particles): both sides hold the same
+        # kept-old value under a per-particle accept (the _where_lead shared
+        # convention), so a row-select write suffices
+        extras = list(store.extras)
+        for (t_c, active_j, _, extra_cols) in packed_cols:
+            for i, v in enumerate(extra_cols):
+                if v is None:
+                    continue
+                e = extras[i]
+                take = jnp.logical_and(acc, active_j)
+                old_row = _onehot_read(e, t_c, self.T)
+                new_row = _where_lead(take, jnp.asarray(v, e.dtype), old_row)
+                extras[i] = _onehot_write(e, t_c, new_row, self.T)
 
-        col_states = [c[3] for c in cols]
-        # the window rows themselves carry the updated states; rows in
-        # [t_old, T-1] are unspecified and readers use row t-1 dynamic
-        # reads (no [-1] tail row to maintain)
-        retvals = jax.tree_util.tree_map(
-            lambda old_leaf, *vs: write_cols(old_leaf, vs),
-            tr.retval, *col_states)
+        new_store = StepStorage(mat, tuple(extras), lo)
         score = tr.score + jnp.where(accept, delta["score_delta"], 0.0)
-        inner = _inner(steps, t_old)
-        return Trace(self, delta["new_args"], retvals, score, inner)
+        inner = _inner(new_store, t_old)
+        return Trace(self, delta["new_args"], None, score, inner)
 
     def _regenerate_window(self, key, tr: Trace, new_args,
                            selection: Selection, k: int):
@@ -781,12 +826,12 @@ class Unfold(GenFn):
         """
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
-        old_steps = tr.inner["steps"]
+        store = tr.inner["store"]
         dsel, _ = self._slice_sel(self._densify_selection(selection))
 
         t_start = t_old - k
         idx_prev = jnp.maximum(t_start - 1, 0)
-        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
+        prev_state = read_step(store, idx_prev)["retval"]
         state = _tree_where(t_start > 0, prev_state, state0)
         if tr.args:
             _, old_state0, old_params = self._split_args(tr.args)
@@ -794,8 +839,6 @@ class Unfold(GenFn):
             old_state0, old_params = state0, params
         old_state = _tree_where(t_start > 0, prev_state, old_state0)
 
-        steps = old_steps
-        retvals = tr.retval
         score_delta = jnp.asarray(0.0, jnp.float32)
         sel_new = jnp.asarray(0.0, jnp.float32)
         sel_old = jnp.asarray(0.0, jnp.float32)
@@ -803,7 +846,8 @@ class Unfold(GenFn):
             t = t_start + j
             t_c = jnp.clip(t, 0, self.T - 1)
             active_j = jnp.logical_and(t >= 0, t < t_old)
-            old_step = _tree_read_at(old_steps, t_c, self.T)
+            old_col = read_step(store, t_c)
+            old_step = old_col["steps"]
             step_sel = (dsel if dsel.all_ else Selection(
                 {k2: (m if isinstance(m, bool) else
                       _onehot_read(jnp.asarray(m), t_c, self.T))
@@ -818,25 +862,19 @@ class Unfold(GenFn):
                 lambda new, old: jnp.where(active_j, jnp.asarray(
                     new, jnp.asarray(old).dtype), old),
                 _slim_steps(new_step), old_step)
-            steps = _tree_write_at(steps, t_c, write, self.T)
-            state = _tree_where(active_j, new_step.retval, state)
-            retvals = _tree_write_at(
-                retvals, t_c,
-                _tree_where(active_j, state, _tree_read_at(retvals, t_c,
-                                                           self.T)),
-                self.T)
+            state = _tree_where(active_j, new_step.get_retval(), state)
+            new_rv = _tree_where(active_j, state, old_col["retval"])
+            store = write_steps(store, t_c, [_col_tree(write, new_rv)])
             score_delta = score_delta + jnp.where(
                 active_j, new_step.score - old_score_t, 0.0)
             sel_new = sel_new + jnp.where(active_j, sn_t, 0.0)
             sel_old = sel_old + jnp.where(active_j, so_t, 0.0)
-            old_state = _tree_where(active_j,
-                                    _tree_read_at(tr.retval, t_c, self.T),
-                                    old_state)
+            old_state = _tree_where(active_j, old_col["retval"], old_state)
 
         # rows in [t_old, T-1] stay unspecified; readers use row t-1
         # dynamic reads (no [-1] tail row to maintain)
-        inner = _inner(steps, t_old)
-        new_tr = Trace(self, new_args, retvals, tr.score + score_delta, inner)
+        inner = _inner(store, t_old)
+        new_tr = Trace(self, new_args, None, tr.score + score_delta, inner)
         return new_tr, sel_new, sel_old
 
     def _sel_logp(self, tr: Trace, args, selection: Selection, window=None):
@@ -854,16 +892,17 @@ class Unfold(GenFn):
         state0 = _batch_state0(state0, b)
         t_old = tr.inner["t"]
         outer_mask = _outer_mask(tr)
-        old_steps = tr.inner["steps"]
+        old_store = tr.inner["store"]
         dsel, sel_static = self._slice_sel(self._densify_selection(selection))
         ts = jnp.arange(self.T, dtype=jnp.int32)
 
         def body(state, xs):
             if sel_static:
-                t, old_step = xs
+                t = xs
                 step_sel = dsel
             else:
-                t, old_step, step_sel = xs
+                t, step_sel = xs
+            old_step = read_step(old_store, t)["steps"]
             a = t < t_old
             if outer_mask is not True:
                 a = jnp.logical_and(a, outer_mask)
@@ -873,7 +912,7 @@ class Unfold(GenFn):
             new_state = _tree_where(a, rv, state)
             return new_state, (new_state, so, sc)
 
-        xs = (ts, old_steps) if sel_static else (ts, old_steps, dsel)
+        xs = ts if sel_static else (ts, dsel)
         _, (states, sos, scs) = lax.scan(body, state0, xs)
         if b is not None:
             return states, jnp.sum(sos, axis=0), jnp.sum(scs, axis=0)
@@ -886,12 +925,12 @@ class Unfold(GenFn):
         Retval = the stored stacked states (already the old sequence)."""
         _, state0, params = self._split_args(args)
         t_old = tr.inner["t"]
-        old_steps = tr.inner["steps"]
+        store = tr.inner["store"]
         dsel, _ = self._slice_sel(self._densify_selection(selection))
 
         t_start = t_old - k
         idx_prev = jnp.maximum(t_start - 1, 0)
-        prev_state = _tree_read_at(tr.retval, idx_prev, self.T)
+        prev_state = read_step(store, idx_prev)["retval"]
         old_state = _tree_where(t_start > 0, prev_state, state0)
         sel_old = jnp.asarray(0.0, jnp.float32)
         score = jnp.asarray(0.0, jnp.float32)
@@ -899,7 +938,8 @@ class Unfold(GenFn):
             t = t_start + j
             t_c = jnp.clip(t, 0, self.T - 1)
             active_j = jnp.logical_and(t >= 0, t < t_old)
-            old_step = _tree_read_at(old_steps, t_c, self.T)
+            old_col = read_step(store, t_c)
+            old_step = old_col["steps"]
             step_sel = (dsel if dsel.all_ else Selection(
                 {k2: (m if isinstance(m, bool) else
                       _onehot_read(jnp.asarray(m), t_c, self.T))
@@ -908,15 +948,13 @@ class Unfold(GenFn):
                 old_step, (t_c, old_state) + params, step_sel)
             sel_old = sel_old + jnp.where(active_j, so_t, 0.0)
             score = score + jnp.where(active_j, sc_t, 0.0)
-            old_state = _tree_where(active_j,
-                                    _tree_read_at(tr.retval, t_c, self.T),
-                                    old_state)
-        return tr.retval, sel_old, score
+            old_state = _tree_where(active_j, old_col["retval"], old_state)
+        return self._retvals_of(tr), sel_old, score
 
     # -- structure --------------------------------------------------------
     def trace_choices(self, tr: Trace) -> ChoiceMap:
         active = self._active(tr.inner["t"], _outer_mask(tr))
-        stacked = self.step.trace_choices(tr.inner["steps"])
+        stacked = self.step.trace_choices(self._steps_of(tr))
         out = {}
         for k, e in stacked.entries.items():
             out[k] = Entry(e.value, _and_lead(e.mask, active, jnp.ndim(e.value)))
@@ -930,7 +968,7 @@ class Unfold(GenFn):
             new_om = m
         else:
             new_om = jnp.logical_and(om, m)
-        inner = _inner(tr.inner["steps"], tr.inner["t"], new_om)
+        inner = _inner(tr.inner["store"], tr.inner["t"], new_om)
         return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
 
     def batch_stored_args(self, tr: Trace, batch: int) -> Trace:
@@ -945,19 +983,27 @@ class Unfold(GenFn):
         return Trace(self, args, tr.retval, tr.score, tr.inner)
 
     def trace_axes(self, tr: Trace, axis: int = 0, args_shared: bool = False):
-        """Time-major batched layout: stacked step and retval leaves hold the
-        particle axis AFTER the time axis (position ``axis+1``); the active
-        length ``t`` is ALWAYS shared across particles (spec ``None`` — the
-        SMC layer extends all particles in lockstep, and an unbatched ``t``
-        is what lets the extension write lower to one O(N)
-        ``dynamic_update_slice`` instead of a per-particle scatter)."""
+        """Time-major batched layout: the packed ``mat [T*R, N]`` holds the
+        particle axis on LANES (position ``axis+1``); the active length
+        ``t`` is ALWAYS shared across particles (spec ``None`` — the SMC
+        layer extends all particles in lockstep, and an unbatched ``t`` is
+        what lets the extension write lower to one O(N)
+        ``dynamic_update_slice`` instead of a per-particle scatter). The
+        spec mirrors the :class:`~.packed.StepStorage` treedef: each extra
+        carries the particle-axis position its layout spec recorded
+        (``None`` for shared leaves), offset by ``axis``."""
         from .batching import gen_spec, _const_spec, spec_n
         n = spec_n(tr.score, axis)
         inner = tr.inner
-        spec_inner = {
-            "steps": self.step.trace_axes(inner["steps"], axis + 1),
-            "t": None,
-        }
+        store = inner["store"]
+        mat_spec = None if store.mat is None else axis + 1
+        extras_spec = [None] * len(store.extras)
+        for s in store.layout.specs:
+            if s.kind == 1:  # _KIND_EXTRA
+                extras_spec[s.off] = (None if s.pax is None
+                                      else s.pax + axis)
+        store_spec = StepStorage(mat_spec, tuple(extras_spec), store.layout)
+        spec_inner = {"store": store_spec, "t": None}
         if "outer_mask" in inner:
             spec_inner["outer_mask"] = gen_spec(inner["outer_mask"], axis, n)
         if args_shared:
@@ -968,11 +1014,20 @@ class Unfold(GenFn):
             args_spec = ((None,) + tuple(gen_spec(a, axis, n)
                                          for a in tr.args[1:])
                          if tr.args else ())
-        return Trace(self, args_spec, gen_spec(tr.retval, axis + 1, n), axis,
-                     spec_inner)
+        return Trace(self, args_spec, None, axis, spec_inner)
+
+    def retval_axes(self, tr: Trace, axis: int = 0):
+        """Particle-axis spec for the MATERIALIZED retval (``get_retval()``
+        output): the packed storage keeps the stored form's spec ``None``
+        at the retval slot, so consumers of materialized retvals (e.g.
+        smc/statistics) ask here instead of ``trace_axes``."""
+        from .batching import gen_spec, spec_n
+        n = spec_n(tr.score, axis)
+        shapes = jax.eval_shape(self.trace_retval, tr)
+        return gen_spec(shapes, axis + 1, n)
 
     def trace_choice_axes(self, tr: Trace, axis: int = 0):
-        steps = tr.inner["steps"]
+        steps = jax.eval_shape(self._steps_of, tr)
         return self.step.trace_choice_axes(steps, axis + 1)
 
     def select_trace(self, accept, new_tr: Trace, old_tr: Trace) -> Trace:
@@ -980,14 +1035,14 @@ class Unfold(GenFn):
         args) from the NEW trace — they agree on both sides by the MH-kernel
         contract, and selecting them would batch layout-shared leaves.
         A per-particle [b] accept (batched interpretation) aligns against
-        the particle axis of the TIME-MAJOR stacked leaves (position 1)."""
+        the LANE particle axis of the packed storage (position 1)."""
         from .gfi import select_batched, _where_lead
-        # stacked step/retval leaves are [T, b, ...]: lift a batched accept
-        # over the leading time axis
+        # the packed mat is [T*R, b]: lift a batched accept over the
+        # leading row axis; shared extras skip via tree_select_shared
         acc_t = (accept if jnp.ndim(accept) == 0
                  else jnp.asarray(accept)[None])
-        steps = select_batched(acc_t, new_tr.inner["steps"],
-                               old_tr.inner["steps"])
+        store = select_batched(acc_t, new_tr.inner["store"],
+                               old_tr.inner["store"])
         om_new = _outer_mask(new_tr)
         om_old = _outer_mask(old_tr)
         if om_new is True and om_old is True:
@@ -995,9 +1050,8 @@ class Unfold(GenFn):
         else:
             om = _where_lead(accept, jnp.asarray(om_new, bool),
                              jnp.asarray(om_old, bool))
-        inner = _inner(steps, new_tr.inner["t"], om)
-        return Trace(self, new_tr.args,
-                     select_batched(acc_t, new_tr.retval, old_tr.retval),
+        inner = _inner(store, new_tr.inner["t"], om)
+        return Trace(self, new_tr.args, None,
                      _where_lead(accept, new_tr.score, old_tr.score), inner)
 
 

@@ -121,7 +121,8 @@ class Trace:
         return self.args
 
     def get_retval(self):
-        return self.retval
+        # gen fns with packed storage (Unfold) materialize on demand
+        return self.gen_fn.trace_retval(self)
 
     def get_score(self):
         return self.score
@@ -162,7 +163,7 @@ class GenFn:
 
     def propose(self, key, args):
         tr = self.simulate(key, args)
-        return tr.get_choices(), tr.score, tr.retval
+        return tr.get_choices(), tr.score, tr.get_retval()
 
     def assess(self, args, choices: ChoiceMap):
         raise NotImplementedError
@@ -242,6 +243,17 @@ class GenFn:
         raise NotImplementedError
 
     # -- structure --------------------------------------------------------
+    def trace_retval(self, tr: Trace):
+        """The trace's return value. Default: the stored ``retval`` field;
+        gen fns with packed step storage (:class:`~.combinators.Unfold`)
+        override to materialize it from the packed matrix."""
+        return tr.retval
+
+    def retval_axes(self, tr: Trace, axis: int = 0):
+        """Particle-axis spec for the MATERIALIZED ``get_retval()`` output
+        (matches ``trace_axes(...).retval`` for plainly-stored retvals)."""
+        return self.trace_axes(tr, axis).retval
+
     def trace_choices(self, tr: Trace) -> ChoiceMap:
         raise NotImplementedError
 
@@ -565,7 +577,7 @@ class _SimulateHandler(_Handler):
     def call_site(self, addr, gf, args):
         sub = gf.simulate(self.fresh_key(), args)
         self.record_sub(addr, sub)
-        return sub.retval
+        return sub.get_retval()
 
 
 class _GenerateHandler(_Handler):
@@ -604,7 +616,7 @@ class _GenerateHandler(_Handler):
                              _scope_path(self.constraints, addr))
         self.weight = self.weight + w
         self.record_sub(addr, sub)
-        return sub.retval
+        return sub.get_retval()
 
 
 class _AssessHandler(_Handler):
@@ -694,7 +706,7 @@ class _UpdateHandler(_Handler):
             # fresh sub-call: everything unconstrained was freshly sampled
             self.logq = self.logq + (sub.score - w)
             self.record_sub(addr, sub)
-            return sub.retval
+            return sub.get_retval()
         # propagate an Extend promise only to the sub-call it names
         # (Extend(k, at=addr)); a bare Extend reaches a sole gf sub-call
         sub_diffs = None
@@ -713,7 +725,7 @@ class _UpdateHandler(_Handler):
         for k, v in disc.entries.items():
             self.discard[addr + k] = v
         self.record_sub(addr, sub)
-        return sub.retval
+        return sub.get_retval()
 
 
 class _RegenerateHandler(_Handler):
@@ -768,7 +780,7 @@ class _RegenerateHandler(_Handler):
             sub = gf.simulate(self.fresh_key(), args)
             self.sel_new = self.sel_new + sub.score
             self.record_sub(addr, sub)
-            return sub.retval
+            return sub.get_retval()
         # sel_old of the sub-tree is NOT taken from the sub's return — the
         # enclosing _sel_logp pass recomputes it recursively under the OLD
         # upstream values (the sub's internal fallback would see new args)
@@ -777,7 +789,7 @@ class _RegenerateHandler(_Handler):
                                     window=self.window, need_sel_old=False)
         self.sel_new = self.sel_new + sn
         self.record_sub(addr, sub)
-        return sub.retval
+        return sub.get_retval()
 
 
 class _SelLogpHandler(_Handler):
@@ -824,7 +836,7 @@ class _SelLogpHandler(_Handler):
         old_sub = self.old_subs.get(addr)
         if old_sub is None:
             # structurally new sub-call: zero contribution (see dist_site)
-            return gf.simulate(jr.key(0), args).retval
+            return gf.simulate(jr.key(0), args).get_retval()
         retval, so, sc = gf._sel_logp(old_sub, args,
                                       _scope_path(self.selection, addr),
                                       window=self.window)

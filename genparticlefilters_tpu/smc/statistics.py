@@ -23,11 +23,13 @@ __all__ = ["mean", "var", "proportionmap"]
 
 def _values(state, addr, fn, addrs):
     if addr is None:
-        from ..core.batching import axes_spec, spec_map, moveaxis_to_front
+        from ..core.batching import spec_map, moveaxis_to_front
         traces = state.traces
         vals = traces.get_retval()
         # present retvals particle-first regardless of storage layout
-        rspec = axes_spec(traces).retval
+        # (retval_axes: the spec of the MATERIALIZED retval — packed
+        # storages keep the stored-form spec empty at the retval slot)
+        rspec = traces.gen_fn.retval_axes(traces)
         vals = spec_map(
             lambda v, ax: v if ax is None else moveaxis_to_front(v, ax),
             vals, rspec)
@@ -41,10 +43,16 @@ def _values(state, addr, fn, addrs):
     return vals
 
 
-def _wsum(w, x):
+def _wsum_leaf(w, x):
     x = jnp.asarray(x, jnp.float32)
     wshape = w.shape + (1,) * (x.ndim - 1)
     return jnp.sum(w.reshape(wshape) * x, axis=0)
+
+
+def _wsum(w, x):
+    """Weighted sum over the particle axis, mapped over pytree leaves (a
+    tuple-valued Unfold retval yields a tuple of means)."""
+    return jax.tree_util.tree_map(lambda v: _wsum_leaf(w, v), x)
 
 
 def mean(state, addr=None, fn: Callable | None = None, *addrs):
@@ -63,9 +71,11 @@ def var(state, addr=None, fn: Callable | None = None, *addrs):
     if callable(addr) and fn is None:
         fn, addr = addr, None
     w = get_norm_weights(state)
-    vals = jnp.asarray(_values(state, addr, fn, addrs), jnp.float32)
+    vals = _values(state, addr, fn, addrs)
     mu = _wsum(w, vals)
-    return _wsum(w, (vals - mu) ** 2)
+    return jax.tree_util.tree_map(
+        lambda v, m: _wsum_leaf(w, (jnp.asarray(v, jnp.float32) - m) ** 2),
+        vals, mu)
 
 
 def proportionmap(state, addr=None, fn: Callable | None = None, *addrs):
