@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_transposed_clustered", "resample_gather_transposed",
            "gather_rows_clustered", "resample_gather_rows",
-           "resample_gather_rows_u"]
+           "resample_gather_rows_u", "resample_gather_split",
+           "resample_gather_split_u"]
 
 _BL = 512   # output lanes per grid step (lane-major kernels)
 _SL = 512   # source lanes per DMA chunk (lane-major kernels)
@@ -521,6 +522,266 @@ def gather_rows_clustered(big, parents, interpret: bool = False):
         interpret=interpret,
     )(par.reshape(m_pad, 1), mat)
     return out[:d, :m]
+
+# ---------------------------------------------------------------------------
+# Pack-free split-output staircase kernels: pieces in, pieces out
+# ---------------------------------------------------------------------------
+
+def _make_stairs_split_kernel(meta, is_float):
+    """Staircase resampling gather with NO pack pass on either side: the
+    8-row-aligned HEAD of every per-leaf row piece is DMA'd chunkwise
+    STRAIGHT from its own HBM buffer into the chunk scratch at a static
+    aligned row offset (Mosaic requires partial sublane DMA slices aligned
+    to the 8-row tile), the sub-8-row RAGGED TAILS plus a lane-index row
+    (the parents source) plus the bracket rows ride ONE small
+    XLA-assembled aux operand DMA'd to an aligned offset, and each piece
+    gets its OWN output buffer — so the gathered matrix needs no post-slicing either (the
+    round-5 packed trace storage makes the trace ONE piece; its output
+    here IS the new storage matrix).
+
+    Edge handling: chunk c's semantic lane range is
+    ``[lo_al + c*S, lo_al + (c+1)*S)`` but the DMA offset is clamped to
+    ``min(base, n128 - S)`` so no read passes the 128-lane-padded physical
+    end of a piece (a fully OOB manual DMA faults the TPU worker; padding
+    lanes get never-matching brackets); a ``lane >= base`` mask keeps
+    shifted chunks from matching a lane twice. Requires n >= _SL; in
+    interpret mode the driver lane-pads pieces to n128 so the emulated
+    dynamic_slice clamping agrees with hardware."""
+    (n_pieces, heads, tails, A, aux8, rt, d_rec, r32, n128) = meta
+    idx_row = A + rt       # lane-index row; brackets follow it
+    brk0 = A + rt + 1
+
+    def kern(*refs):
+        if is_float:
+            bases_ref, u_ref = refs[0], refs[1]
+            aux_ref = refs[2]
+            pieces = refs[3:3 + n_pieces]
+            rest = refs[3 + n_pieces:]
+        else:
+            bases_ref = refs[0]
+            aux_ref = refs[1]
+            pieces = refs[2:2 + n_pieces]
+            rest = refs[2 + n_pieces:]
+        outs = rest[:n_pieces]
+        parents_ref = rest[n_pieces]
+        chunk_ref, acc, sem = rest[n_pieces + 1:]
+
+        i = pl.program_id(0)
+        lo = bases_ref[i, 0]
+        hi = bases_ref[i, 1]
+        lo_al = (lo // 128) * 128
+        n_chunks = (hi - lo_al) // _SL + 1
+        max_rb = max(n128 - _SL, 0)
+
+        if is_float:
+            u_col = u_ref[...].astype(jnp.float32)      # [B, 1]
+        else:
+            j_col = i * _BL + jax.lax.broadcasted_iota(
+                jnp.int32, (_BL, 1), 0)
+
+        acc[:] = jnp.zeros_like(acc)
+
+        def rb_of(c):
+            base = lo_al + c * _SL
+            # the //128*128 is a no-op (both operands are 128-aligned) but
+            # lets Mosaic PROVE the HBM lane offset divisible by the tiling
+            return base, (jnp.minimum(base, max_rb) // 128) * 128
+
+        def dmas(c, buf):
+            _, rb = rb_of(c)
+            cps = []
+            k = 0
+            for (p_idx, off, hw) in heads:
+                cps.append(pltpu.make_async_copy(
+                    pieces[p_idx].at[:hw, pl.ds(rb, _SL)],
+                    chunk_ref.at[buf, off:off + hw], sem.at[buf, k]))
+                k += 1
+            cps.append(pltpu.make_async_copy(
+                aux_ref.at[:, pl.ds(rb, _SL)],
+                chunk_ref.at[buf, A:A + aux8], sem.at[buf, k]))
+            return cps
+
+        for cp in dmas(0, 0):
+            cp.start()
+
+        def chunk_body(c, _):
+            cur = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for cp in dmas(c + 1, 1 - cur):
+                    cp.start()
+
+            for cp in dmas(c, cur):
+                cp.wait()
+            base, rb = rb_of(c)
+            lane = rb + jax.lax.broadcasted_iota(jnp.int32, (1, _SL), 1)
+            if is_float:
+                cp_row = jax.lax.bitcast_convert_type(
+                    chunk_ref[cur, brk0, :], jnp.float32)[None, :]
+                cc_row = jax.lax.bitcast_convert_type(
+                    chunk_ref[cur, brk0 + 1, :], jnp.float32)[None, :]
+                onehot = jnp.logical_and(cp_row < u_col, u_col <= cc_row)
+            else:
+                fp = chunk_ref[cur, brk0, :][None, :]
+                fc = chunk_ref[cur, brk0 + 1, :][None, :]
+                onehot = jnp.logical_and(fp <= j_col, j_col < fc)
+            # shifted edge chunks: never match a lane already covered by
+            # the previous chunk
+            onehot = jnp.logical_and(onehot, lane >= base).astype(jnp.int8)
+            _lane_kernel_body(chunk_ref[cur], onehot, acc)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        full = _lane_kernel_out(acc, r32, d_rec)
+        for out_ref, (ho, hw, toff, tw) in zip(outs, tails):
+            parts = []
+            if hw:
+                parts.append(full[ho:ho + hw, :])
+            if tw:
+                parts.append(full[A + toff:A + toff + tw, :])
+            out_ref[...] = (parts[0] if len(parts) == 1
+                            else jnp.concatenate(parts, axis=0))
+        parents_ref[...] = full[idx_row:idx_row + 1, :]
+    return kern
+
+
+def _stairs_split_call(pieces, brackets, bases, u, m, interpret):
+    """Shared driver for the split kernels: returns (outs, parents).
+    ``brackets``: [2, n_pad] int32 (bit patterns)."""
+    n = pieces[0].shape[1] if pieces else brackets.shape[1]
+    n128 = -(-n // 128) * 128
+    if interpret and n128 != n:
+        # hardware DMAs may read the physical 128-lane tile padding; the
+        # interpreter's dynamic_slice would CLAMP instead — pad explicitly
+        # so both worlds read the same lanes
+        pieces = [jnp.pad(p_, ((0, 0), (0, n128 - n))) for p_ in pieces]
+    widths = tuple(p.shape[0] for p in pieces)
+    # chunk-buffer layout: 8-aligned piece heads first, then ONE aux block
+    # holding the ragged tails + the two bracket rows (8-row padded)
+    heads = []       # (piece_idx, chunk_off, head_rows)
+    tails = []       # per piece: (head_off, head_rows, tail_off, tail_rows)
+    tail_srcs = []
+    A = 0
+    rt = 0
+    for idx, w in enumerate(widths):
+        hw = (w // 8) * 8
+        tw = w - hw
+        ho = A
+        if hw:
+            heads.append((idx, A, hw))
+            A += hw
+        toff = rt
+        if tw:
+            tail_srcs.append(pieces[idx][hw:])
+            rt += tw
+        tails.append((ho, hw, toff, tw))
+    # aux rows: ragged tails, then the lane-index row (the parents come
+    # out of the byteplane matmul exactly like any data row — int32-exact
+    # for any n), then the brackets, padded to 8
+    aux8 = -(-(rt + 3) // 8) * 8
+    n_pad = brackets.shape[1]
+    aux_parts = [jnp.pad(t, ((0, 0), (0, n_pad - t.shape[1])))
+                 for t in tail_srcs]
+    aux_parts.append(jnp.arange(n_pad, dtype=jnp.int32)[None, :])
+    aux_parts.append(brackets)
+    pad_rows = aux8 - rt - 3
+    if pad_rows:
+        aux_parts.append(jnp.zeros((pad_rows, n_pad), jnp.int32))
+    aux = jnp.concatenate(aux_parts, axis=0)
+
+    d_rec = A + rt + 1         # rows the recombine must produce
+    r32 = _r32(max(A + aux8, 8))
+    m_pad = -(-m // _BL) * _BL
+    is_float = u is not None
+    meta = (len(pieces), tuple(heads), tuple(tails), A, aux8, rt,
+            max(d_rec, 1), r32, n128)
+    kern = _make_stairs_split_kernel(meta, is_float)
+    out_shape = ([jax.ShapeDtypeStruct((w, m_pad), jnp.int32)
+                  for w in widths]
+                 + [jax.ShapeDtypeStruct((1, m_pad), jnp.int32)])
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    in_specs = ([pl.BlockSpec((_BL, 1), lambda i, bases: (i, 0),
+                              memory_space=pltpu.VMEM)] if is_float else [])
+    in_specs += [hbm] * (1 + len(pieces))
+    out_specs = ([pl.BlockSpec((w, _BL), lambda i, bases: (0, i))
+                  for w in widths]
+                 + [pl.BlockSpec((1, _BL), lambda i, bases: (0, i))])
+    args = ([u.reshape(m_pad, 1)] if is_float else []) + [aux] + list(pieces)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_pad // _BL,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((2, r32, _SL), jnp.int32),
+                pltpu.VMEM((4 * r32, _BL), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, len(heads) + 1)),
+            ],
+        ),
+        interpret=interpret,
+    )(bases, *args)
+    parents = outs[-1][0, :m]
+    return [o_[:, :m] for o_ in outs[:-1]], parents
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "n_out"))
+def resample_gather_split(pieces, F, n_out: int | None = None,
+                          interpret: bool = False):
+    """Pack-free fused resampling gather from cumulative hit counts ``F``
+    (semantics of :func:`resample_gather_rows`) reading the unpadded
+    [w_i, N] pieces in place and emitting one gathered [w_i, n_out] output
+    PER PIECE plus the parents — no packed matrix on either side. Pieces
+    must all share N >= 2*_SL (callers route smaller inputs through the
+    packing path)."""
+    pieces = list(pieces)
+    n = F.shape[0]
+    m = n if n_out is None else n_out
+    n_pad = -(-n // _SL) * _SL + 2 * _SL
+    f_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), F[:-1],
+                              jnp.full((n_pad - n,), m, jnp.int32)])
+    F_row = jnp.concatenate([F, jnp.full((n_pad - n,), m, jnp.int32)])
+    aux = jnp.stack([f_prev, F_row], axis=0)
+
+    grid = jnp.arange(-(-m // _BL) + 1, dtype=jnp.int32) * _BL
+    ss = jnp.searchsorted(F, grid, side="right").astype(jnp.int32)
+    bases = jnp.stack([ss[:-1], jnp.minimum(ss[1:], n - 1)], axis=1)
+    return _stairs_split_call(pieces, aux, bases, None, m, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def resample_gather_split_u(pieces, c, u, interpret: bool = False):
+    """Float-bracket (multinomial) variant of :func:`resample_gather_split`
+    (semantics of :func:`resample_gather_rows_u`)."""
+    pieces = list(pieces)
+    n = c.shape[0]
+    m = u.shape[0]
+    n_pad = -(-n // _SL) * _SL + 2 * _SL
+    c = c.astype(jnp.float32)
+    asi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    pad2 = jnp.full((n_pad - n,), 2.0, jnp.float32)
+    c_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), c[:-1], pad2])
+    c_row = jnp.concatenate([c[:-1], jnp.full((1,), 2.0, jnp.float32),
+                             pad2])
+    aux = jnp.stack([asi(c_prev), asi(c_row)], axis=0)
+
+    up = jnp.maximum(u.astype(jnp.float32), 1e-37)
+    m_pad = -(-m // _BL) * _BL
+    if m_pad != m:
+        up = jnp.concatenate([up, jnp.full((m_pad - m,), 3.0, jnp.float32)])
+    nb = m_pad // _BL
+    grid = jnp.arange(nb, dtype=jnp.int32) * _BL
+    qlo = up[grid]
+    qhi = up[jnp.minimum(grid + _BL - 1, m - 1)]
+    ss_lo = jnp.searchsorted(c, qlo, side="left").astype(jnp.int32)
+    ss_hi = jnp.searchsorted(c, qhi, side="left").astype(jnp.int32)
+    bases = jnp.stack([jnp.minimum(ss_lo, n - 1),
+                       jnp.minimum(ss_hi, n - 1)], axis=1)
+    return _stairs_split_call(pieces, aux, bases, up, m, interpret)
+
 
 _B = 512       # output rows (particles) per grid step
 _CHUNK = 512   # source rows per DMA slab

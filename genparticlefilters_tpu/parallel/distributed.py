@@ -138,6 +138,10 @@ def pf_resample_blockwise(key, state: ParticleFilterState, n_blocks: int,
             local, mesh=mesh,
             in_specs=(P(axis_name), P(axis_name), *specs),
             out_specs=(P(axis_name), P(axis_name), *specs),
+            # the fused Pallas gathers inside the body emit ShapeDtypeStructs
+            # without vma annotations; semantics are pinned against the
+            # no-mesh oracle (tests/test_collectives.py, scripts/tpu_checks)
+            check_vma=False,
         )(keys, state.log_weights, *leaves)
         new_lw, parents = out[0], out[1]
         new_traces = jax.tree_util.tree_unflatten(treedef, out[2:])

@@ -363,6 +363,24 @@ def _pack_rows(leaves, axes):
     return rows, meta
 
 
+def _seg_to_leaf(seg, dtype, shape, ax, n):
+    """One gathered row block [w, n] -> the trace leaf (bitcast + reshape +
+    axis restore; a packed-storage mat leaf comes back shape-identical with
+    zero movement)."""
+    if dtype == jnp.float32:
+        seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
+    elif dtype == jnp.bool_:
+        seg = seg != 0
+    elif dtype != jnp.int32:
+        seg = seg.astype(dtype)
+    new_shape = tuple(shape[:ax]) + tuple(shape[ax + 1:]) + (n,)
+    if seg.shape != new_shape:
+        seg = seg.reshape(new_shape)
+    if ax != len(shape) - 1:
+        seg = jnp.moveaxis(seg, -1, ax)
+    return seg
+
+
 def _unpack_rows(big, leaves, meta, parents, n):
     """Rebuild trace leaves from the gathered lane-dense [D, n] matrix
     (sublane slices; time-major leaves reshape back with zero movement)."""
@@ -377,18 +395,24 @@ def _unpack_rows(big, leaves, meta, parents, n):
             continue
         seg = big[off] if width == 1 else big[off:off + width]
         off += width
-        if dtype == jnp.float32:
-            seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
-        elif dtype == jnp.bool_:
-            seg = seg != 0
-        elif dtype != jnp.int32:
-            seg = seg.astype(dtype)
-        new_shape = tuple(shape[:ax]) + tuple(shape[ax + 1:]) + (n,)
-        if seg.shape != new_shape:
-            seg = seg.reshape(new_shape)
-        if ax != len(shape) - 1:
-            seg = jnp.moveaxis(seg, -1, ax)
-        out_leaves.append(seg)
+        out_leaves.append(_seg_to_leaf(seg, dtype, shape, ax, n))
+    return out_leaves
+
+
+def _unpack_split(outs, leaves, meta, parents, n):
+    """Rebuild trace leaves from the split-kernel per-piece outputs
+    (ops/fused_gather.resample_gather_split): output i IS packable leaf
+    i's gathered rows — no matrix slicing at all."""
+    out_leaves = []
+    it = iter(outs)
+    for l, (dtype, shape, width, ax) in zip(leaves, meta):
+        if width == 0:
+            if ax is None or jnp.ndim(l) <= ax:
+                out_leaves.append(l)
+            else:
+                out_leaves.append(jnp.take(l, parents, axis=ax))
+            continue
+        out_leaves.append(_seg_to_leaf(next(it), dtype, shape, ax, n))
     return out_leaves
 
 
@@ -512,10 +536,22 @@ def _gather_traces_from_F(traces, F, n_out: int | None = None):
         parents = _F_to_parents(F, m)
         bigT = jax.lax.optimization_barrier(
             jnp.take(big, parents, axis=1))[:-1]
+    elif n_src >= 512 and packed and n_src * d1 >= (16 << 20):
+        # pack-free split path: pieces read in place, one gathered output
+        # PER PIECE (the packed-storage mat comes back shape-identical) —
+        # no packed matrix on either side of the kernel. Gated to LARGE
+        # packs (>= 64 MB): below that the pack kernel's single-DMA
+        # single-output pipeline wins (measured 2.31 vs 2.49 ms on the
+        # N=100K headline), above it the pack pass alone costs ~1.6 ms at
+        # the MOT N=1M shape
+        from ..ops.fused_gather import resample_gather_split
+        outs, parents = resample_gather_split(packed, F, n_out=n_out)
+        out_leaves = _unpack_split(outs, leaves, meta, parents, m)
+        return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
     else:
-        # pieces passed unconcatenated: the Pallas pack kernel assembles
-        # the gather matrix reading the trace leaves in place (the XLA
-        # concat alone measured ~2.5 ms/resample at N=1M)
+        # small-N fallback: the Pallas pack kernel assembles the gather
+        # matrix reading the trace leaves in place (the XLA concat it
+        # replaced measured ~2.5 ms/resample at N=1M)
         from ..ops.fused_gather import resample_gather_rows
         arg = packed if packed else jnp.zeros((0, n_src), jnp.int32)
         bigT, parents = resample_gather_rows(arg, F, n_out=n_out)
@@ -546,8 +582,14 @@ def _gather_traces_from_cu(traces, c, u):
         else:
             from ..ops.fused_gather import resample_gather_rows
             bigT, parents = resample_gather_rows(big, F, has_index_row=True)
+    elif n_src >= 512 and packed and n_src * d1 >= (16 << 20):
+        # pack-free split path (see _gather_traces_from_F; same size gate)
+        from ..ops.fused_gather import resample_gather_split_u
+        outs, parents = resample_gather_split_u(packed, c, u)
+        out_leaves = _unpack_split(outs, leaves, meta, parents, m)
+        return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
     else:
-        # pieces passed unconcatenated (see _gather_traces_from_F)
+        # small-N fallback (see _gather_traces_from_F)
         from ..ops.fused_gather import resample_gather_rows_u
         arg = packed if packed else jnp.zeros((0, n_src), jnp.int32)
         bigT, parents = resample_gather_rows_u(arg, c, u)

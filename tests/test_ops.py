@@ -409,6 +409,71 @@ def test_resample_gather_rows_u_pieces_interpret():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref_))
 
 
+@pytest.mark.parametrize("n,m", [(2048, 2048), (1000, 1000), (2048, 1024),
+                                 (600, 1200)])
+def test_resample_gather_split_interpret(n, m):
+    # the pack-free split kernel (per-piece outputs, in-kernel index row,
+    # clamped edge DMAs) must match the packed-matrix kernel bit for bit
+    from genparticlefilters_tpu.ops.fused_gather import (
+        resample_gather_rows, resample_gather_split)
+    from genparticlefilters_tpu.smc.resample import systematic_F
+    widths = (40, 1, 7)
+    pieces = [jr.randint(jr.key(i + 70), (w, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32) for i, w in enumerate(widths)]
+    big = jnp.concatenate(pieces, axis=0)
+    w = jr.dirichlet(jr.key(80), jnp.ones(n) * 0.4)
+    F = systematic_F(jr.key(81), w, m)
+    ref_out, ref_par = resample_gather_rows(big, F, n_out=m, interpret=True)
+    outs, parents = resample_gather_split(pieces, F, n_out=m,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents), np.asarray(ref_par))
+    off = 0
+    for o_, wd in zip(outs, widths):
+        np.testing.assert_array_equal(np.asarray(o_),
+                                      np.asarray(ref_out[off:off + wd]))
+        off += wd
+
+
+def test_resample_gather_split_u_interpret():
+    from genparticlefilters_tpu.ops.fused_gather import (
+        resample_gather_rows_u, resample_gather_split_u)
+    n = 1500
+    widths = (33, 2)
+    pieces = [jr.randint(jr.key(i + 90), (w, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32) for i, w in enumerate(widths)]
+    big = jnp.concatenate(pieces, axis=0)
+    w = jr.dirichlet(jr.key(91), jnp.ones(n) * 0.5)
+    cvec = jnp.cumsum(w)
+    cvec = cvec / cvec[-1]
+    u = jnp.sort(jr.uniform(jr.key(92), (n,), jnp.float32))
+    ref_out, ref_par = resample_gather_rows_u(big, cvec, u, interpret=True)
+    outs, parents = resample_gather_split_u(pieces, cvec, u, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents), np.asarray(ref_par))
+    off = 0
+    for o_, wd in zip(outs, widths):
+        np.testing.assert_array_equal(np.asarray(o_),
+                                      np.asarray(ref_out[off:off + wd]))
+        off += wd
+
+
+def test_resample_gather_split_degenerate_interpret():
+    # all mass on one particle: every output comes from a single source
+    # lane; also exercises the shifted-edge-chunk mask at the array end
+    from genparticlefilters_tpu.ops.fused_gather import (
+        resample_gather_rows, resample_gather_split)
+    from genparticlefilters_tpu.smc.resample import systematic_F
+    n = 900
+    pieces = [jr.randint(jr.key(7), (5, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32)]
+    w = jnp.zeros((n,)).at[n - 1].set(1.0)
+    F = systematic_F(jr.key(8), w)
+    ref_out, ref_par = resample_gather_rows(
+        jnp.concatenate(pieces, axis=0), F, interpret=True)
+    outs, parents = resample_gather_split(pieces, F, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents), np.asarray(ref_par))
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(ref_out))
+
+
 def test_resample_gather_rows_pieces_resize_interpret():
     from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows
     from genparticlefilters_tpu.smc.resample import systematic_F
