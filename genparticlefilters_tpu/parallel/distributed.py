@@ -59,13 +59,18 @@ _PARENT_FNS = {
 }
 
 # fused-path kernels per method for the shard-local (shard_map) body:
-# (F_fn, cu_fn, clustered) — stratified keeps its sorted parent path (the
-# ref sorts by weight first, src/resample.jl:154-158), so parents are not
-# clustered and the fused gather does not apply.
+# (F_fn, cu_fn, clustered) — stratified DEFAULTS to its sorted parent path
+# (the ref sorts by weight first, src/resample.jl:154-158), so parents are
+# not clustered and the fused gather does not apply; pass
+# ``sort_particles=False`` to pf_resample_blockwise for the fused
+# unsorted-stratified formulation (same stratified law, no variance-
+# reduction pre-sort — parents are then non-decreasing and ride the
+# staircase kernel like systematic).
 _FUSED_FNS = {
     "multinomial": (None, multinomial_cu, True),
     "residual": (residual_F_fused, None, True),
     "stratified": (None, None, False),
+    "stratified_unsorted": (stratified_F, None, True),
     "systematic": (systematic_F, None, True),
 }
 
@@ -99,7 +104,8 @@ def _traces_pspecs(state: ParticleFilterState, axis_name: str):
 
 def pf_resample_blockwise(key, state: ParticleFilterState, n_blocks: int,
                           method: str = "systematic", priority_fn=None,
-                          mesh=None, axis_name: str = PARTICLE_AXIS
+                          mesh=None, axis_name: str = PARTICLE_AXIS,
+                          sort_particles: bool | None = None
                           ) -> ParticleFilterState:
     """Resample independently inside each of ``n_blocks`` contiguous blocks
     of the particle axis, preserving each block's total weight (sub-state
@@ -111,17 +117,30 @@ def pf_resample_blockwise(key, state: ParticleFilterState, n_blocks: int,
     ``tests/test_collectives.py``), with the fused Pallas resampling
     gathers enabled per shard. Without a mesh, a vmap over blocks computes
     the identical result on one device.
+
+    ``sort_particles`` applies to ``method="stratified"`` only: the
+    default (None/True) keeps the reference's weight-sorted stratified
+    draws (variance reduction, src/resample.jl:154-158) on the unfused
+    gather; ``False`` drops the pre-sort — the same stratified law with
+    non-decreasing parents, riding the fused staircase kernel exactly
+    like systematic.
     """
     n = state.n_particles
     _check_blocks(n, n_blocks, mesh, axis_name)
     b = n // n_blocks
     if method not in _PARENT_FNS:
         raise ValueError(f"Resampling method {method!r} not recognized.")
-    parent_fn = _PARENT_FNS[method]
+    fused_key = method
+    if method == "stratified" and sort_particles is False:
+        fused_key = "stratified_unsorted"
+        parent_fn = lambda k, w, lp: stratified_parents(
+            k, w, log_priorities=lp, sort_particles=False)
+    else:
+        parent_fn = _PARENT_FNS[method]
     keys = jr.split(key, n_blocks)
 
     if mesh is not None:
-        F_fn, cu_fn, clustered = _FUSED_FNS[method]
+        F_fn, cu_fn, clustered = _FUSED_FNS[fused_key]
         leaves, treedef, specs, flags = _traces_pspecs(state, axis_name)
 
         def local(keys_l, lw, *tr_leaves):
@@ -156,7 +175,8 @@ def pf_resample_blockwise(key, state: ParticleFilterState, n_blocks: int,
     from ..smc.resample import (_maybe_partitioned, blockwise_compose,
                                 _gather_traces_from_F, _gather_traces_from_cu)
     use_fused = (not custom
-                 and method in ("systematic", "multinomial", "residual")
+                 and fused_key in ("systematic", "multinomial", "residual",
+                                   "stratified_unsorted")
                  and _config.clustered_gather
                  and jax.devices()[0].platform == "tpu"
                  and not _maybe_partitioned(state.log_weights))
@@ -168,7 +188,9 @@ def pf_resample_blockwise(key, state: ParticleFilterState, n_blocks: int,
         # #6); same offspring law as the per-block fallback below
         # (bit-identical for systematic).
         w_blocks = jax.vmap(lambda v: safe_softmax(v)[0])(lp)
-        kind, payload = blockwise_compose(key, w_blocks, method)
+        kind, payload = blockwise_compose(
+            key, w_blocks,
+            "stratified" if fused_key == "stratified_unsorted" else method)
         if kind == "cu":
             new_traces, parents = _gather_traces_from_cu(state.traces,
                                                          *payload)

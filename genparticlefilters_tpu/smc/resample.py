@@ -652,6 +652,11 @@ def blockwise_compose(key, weights_blocks, method: str,
     if method == "systematic":
         F = jax.vmap(systematic_F)(keys, weights_blocks)
         return "F", (F + offs).reshape(K * b)
+    if method == "stratified":
+        # unsorted stratified: pure per-block cumsum arithmetic exactly
+        # like systematic (one uniform per stratum instead of one shared)
+        F = jax.vmap(stratified_F)(keys, weights_blocks)
+        return "F", (F + offs).reshape(K * b)
     if method == "multinomial":
         c, u = jax.vmap(multinomial_cu)(keys, weights_blocks)
         # clamp >= K*2^-21 (not 2^-23): with ~1 ulp of margin, (k+u)*invK

@@ -158,6 +158,26 @@ def test_blockwise_mesh_matches_fallback(setup, method):
     assert len(out_m.log_weights.sharding.device_set) == 8
 
 
+def test_blockwise_stratified_unsorted_mesh_matches_fallback(setup):
+    # the fused unsorted-stratified formulation (sort_particles=False):
+    # mesh shard_map body and single-device fallback must agree exactly
+    mesh, state, sharded = setup
+    out_m = jax.jit(lambda k, s: pf_resample_blockwise(
+        k, s, 8, method="stratified", sort_particles=False,
+        mesh=mesh))(jr.key(4), sharded)
+    out_f = jax.jit(lambda k, s: pf_resample_blockwise(
+        k, s, 8, method="stratified", sort_particles=False))(
+        jr.key(4), state)
+    np.testing.assert_array_equal(np.asarray(out_m.parents),
+                                  np.asarray(out_f.parents))
+    np.testing.assert_allclose(np.asarray(out_m.log_weights),
+                               np.asarray(out_f.log_weights), atol=1e-6)
+    _assert_trees_equal(out_m.traces, out_f.traces)
+    # parents are clustered per block (the fused-gather precondition)
+    par = np.asarray(out_m.parents).reshape(8, -1)
+    assert all((np.diff(row) >= 0).all() for row in par)
+
+
 def test_blockwise_mesh_priority_fn(setup):
     mesh, state, sharded = setup
     pf = lambda w: w / 2

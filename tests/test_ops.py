@@ -356,6 +356,23 @@ def test_blockwise_compose_multinomial_boundary_collapse(K):
                                   np.asarray(jnp.take(big, parents, axis=1)))
 
 
+def test_blockwise_compose_stratified_bit_identical():
+    # composed global F for UNSORTED stratified must reproduce the
+    # per-block unsorted-stratified parents bit-for-bit (pure cumsum
+    # arithmetic, like systematic)
+    from genparticlefilters_tpu.smc.resample import (
+        blockwise_compose, stratified_F, _F_to_parents)
+    K, b = 8, 512
+    keys = jr.split(jr.key(21), K)
+    w = jr.dirichlet(jr.key(22), jnp.ones(b) * 0.8, shape=(K,))
+    kind, F = blockwise_compose(jr.key(21), w, "stratified")
+    assert kind == "F"
+    parents = np.asarray(_F_to_parents(F, K * b))
+    for k in range(K):
+        pk = np.asarray(_F_to_parents(stratified_F(keys[k], w[k]), b))
+        np.testing.assert_array_equal(parents[k * b:(k + 1) * b], pk + k * b)
+
+
 def test_blockwise_compose_residual_matches_per_block():
     # composed role-swapped remainder pass == per-block residual_F counts
     from genparticlefilters_tpu.smc.resample import (
