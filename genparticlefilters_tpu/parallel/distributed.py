@@ -39,7 +39,7 @@ from jax.sharding import PartitionSpec as P
 from ..core.batching import axes_spec
 from ..smc.resample import (multinomial_parents, residual_parents,
                             stratified_parents, systematic_parents,
-                            multinomial_cu, residual_F_fused, stratified_F,
+                            multinomial_cu, residual_F_fused, stratified_cu,
                             systematic_F, _gather_traces, _resample_block,
                             _new_weights_sub, assume_unpartitioned)
 from ..smc.state import ParticleFilterState
@@ -70,7 +70,7 @@ _FUSED_FNS = {
     "multinomial": (None, multinomial_cu, True),
     "residual": (residual_F_fused, None, True),
     "stratified": (None, None, False),
-    "stratified_unsorted": (stratified_F, None, True),
+    "stratified_unsorted": (None, stratified_cu, True),
     "systematic": (systematic_F, None, True),
 }
 

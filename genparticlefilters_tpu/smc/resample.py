@@ -35,7 +35,7 @@ __all__ = ["pf_resample", "pf_multinomial_resample", "pf_residual_resample",
            "multinomial_parents", "residual_parents", "stratified_parents",
            "systematic_parents", "stratified_F", "systematic_F",
            "multinomial_F", "residual_F", "multinomial_cu",
-           "residual_F_fused"]
+           "stratified_cu", "residual_F_fused"]
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +113,23 @@ def stratified_F(key, weights, n_out: int | None = None):
     frac_hit = (v[mc] <= c - m.astype(jnp.float32)) & (m < n_out)
     F = jnp.clip(m, 0, n_out) + frac_hit.astype(jnp.int32)
     return _pinned_F(F, n_out)
+
+
+def stratified_cu(key, weights, n_out: int | None = None):
+    """Float brackets for the fused stratified gather: normalized
+    cumulative weights ``c`` and the per-stratum draws
+    ``u_j = (j + v_j)/n`` — ascending BY CONSTRUCTION (stratum j's draw
+    lives in [j/n, (j+1)/n)), so the inverse-CDF staircase kernel applies
+    exactly as in ``multinomial_cu`` with NO sorted-uniform construction,
+    no merged count array, and — unlike ``stratified_F`` — no random
+    ``v[⌊c⌋]`` gather (measured ~0.6 ms/step of the 1.0 ms unsorted-
+    stratified resample phase at N=100K)."""
+    n_out = weights.shape[0] if n_out is None else n_out
+    v = jr.uniform(key, (n_out,), dtype=jnp.float32)
+    u = (jnp.arange(n_out, dtype=jnp.float32) + v) / n_out
+    u = jnp.maximum(u, 1e-37)  # u[0]=0 would match no bracket (c_prev < u)
+    c = jax.lax.cummax(jnp.cumsum(weights))
+    return c / jnp.maximum(c[-1], 1e-37), u
 
 
 def systematic_F(key, weights, n_out: int | None = None):
@@ -653,10 +670,14 @@ def blockwise_compose(key, weights_blocks, method: str,
         F = jax.vmap(systematic_F)(keys, weights_blocks)
         return "F", (F + offs).reshape(K * b)
     if method == "stratified":
-        # unsorted stratified: pure per-block cumsum arithmetic exactly
-        # like systematic (one uniform per stratum instead of one shared)
-        F = jax.vmap(stratified_F)(keys, weights_blocks)
-        return "F", (F + offs).reshape(K * b)
+        # unsorted stratified: per-block float brackets exactly like
+        # multinomial (per-stratum draws are ascending by construction;
+        # same clamp rationale as the multinomial branch)
+        c, u = jax.vmap(stratified_cu)(keys, weights_blocks)
+        u = jnp.maximum(u, max(K, 2) * 2.0 ** -21)
+        cg = ((kf + c) * invK).reshape(K * b)
+        ug = ((kf + u) * invK).reshape(K * b)
+        return "cu", (cg, ug)
     if method == "multinomial":
         c, u = jax.vmap(multinomial_cu)(keys, weights_blocks)
         # clamp >= K*2^-21 (not 2^-23): with ~1 ulp of margin, (k+u)*invK
@@ -793,7 +814,7 @@ def pf_stratified_resample(key, state, priority_fn=None, check="warn",
         lambda k, w, lp: stratified_parents(
             k, w, log_priorities=lp, sort_particles=sort_particles),
         priority_fn, check, clustered=not sort_particles,
-        F_fn=None if sort_particles else stratified_F)
+        cu_fn=None if sort_particles else stratified_cu)
 
 
 def pf_systematic_resample(key, state, priority_fn=None, check="warn",

@@ -356,21 +356,30 @@ def test_blockwise_compose_multinomial_boundary_collapse(K):
                                   np.asarray(jnp.take(big, parents, axis=1)))
 
 
-def test_blockwise_compose_stratified_bit_identical():
-    # composed global F for UNSORTED stratified must reproduce the
-    # per-block unsorted-stratified parents bit-for-bit (pure cumsum
-    # arithmetic, like systematic)
+def test_blockwise_compose_stratified_matches_per_block():
+    # composed (c', u') for UNSORTED stratified through the float-bracket
+    # kernel == per-block merge-count parents on the same draws
     from genparticlefilters_tpu.smc.resample import (
-        blockwise_compose, stratified_F, _F_to_parents)
+        blockwise_compose, stratified_cu, _merge_count, _pinned_F,
+        _F_to_parents)
+    from genparticlefilters_tpu.ops.fused_gather import resample_gather_rows_u
     K, b = 8, 512
+    n = K * b
     keys = jr.split(jr.key(21), K)
     w = jr.dirichlet(jr.key(22), jnp.ones(b) * 0.8, shape=(K,))
-    kind, F = blockwise_compose(jr.key(21), w, "stratified")
-    assert kind == "F"
-    parents = np.asarray(_F_to_parents(F, K * b))
+    kind, (cg, ug) = blockwise_compose(jr.key(21), w, "stratified")
+    assert kind == "cu"
+    big = jr.randint(jr.key(23), (4, n), -2**31, 2**31 - 1, dtype=jnp.int32)
+    out, parents = resample_gather_rows_u(big, cg, ug, interpret=True)
+    parents = np.asarray(parents)
     for k in range(K):
-        pk = np.asarray(_F_to_parents(stratified_F(keys[k], w[k]), b))
-        np.testing.assert_array_equal(parents[k * b:(k + 1) * b], pk + k * b)
+        c, u = stratified_cu(keys[k], w[k])
+        pk = np.asarray(_F_to_parents(_pinned_F(_merge_count(c, u), b), b))
+        blk = parents[k * b:(k + 1) * b]
+        assert (blk >= k * b).all() and (blk < (k + 1) * b).all()
+        np.testing.assert_array_equal(blk, pk + k * b)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(jnp.take(big, parents, axis=1)))
 
 
 def test_blockwise_compose_residual_matches_per_block():
