@@ -39,6 +39,55 @@ __all__ = ["pf_resample", "pf_multinomial_resample", "pf_residual_resample",
 
 
 # ---------------------------------------------------------------------------
+# Fast 1-D prefix scans: XLA's 1-D cumulative-op lowering costs ~202 µs at
+# n=1M on v5e (reduce-window log-decomposition with poor constants); the
+# blocked [n/512, 512] formulation — per-row lane scan + a tiny cross-row
+# offset scan — measures 14.6 µs (/tmp/cum2.py sweep). Used for every
+# [N]-sized scan on the resampling paths; small n keeps the XLA op.
+# ---------------------------------------------------------------------------
+
+_BLK_SCAN = 512
+
+
+def _cumsum1(x):
+    """Inclusive 1-D cumsum, blocked for large n (f32/int32)."""
+    n = x.shape[0]
+    if n < 8 * _BLK_SCAN or n % 1 != 0:
+        return jnp.cumsum(x)
+    L = _BLK_SCAN
+    K = n // L
+    r = x[:K * L].reshape(K, L)
+    within = jnp.cumsum(r, axis=1)
+    offs = jnp.cumsum(within[:, -1])
+    offs = jnp.concatenate([jnp.zeros((1,), x.dtype), offs[:-1]])
+    out = (within + offs[:, None]).reshape(K * L)
+    if K * L != n:
+        tail = jnp.cumsum(x[K * L:]) + out[-1]
+        out = jnp.concatenate([out, tail])
+    return out
+
+
+def _cummax1(x):
+    """Inclusive 1-D cummax, blocked for large n."""
+    n = x.shape[0]
+    if n < 8 * _BLK_SCAN:
+        return jax.lax.cummax(x)
+    lo = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+          else jnp.iinfo(x.dtype).min)
+    L = _BLK_SCAN
+    K = n // L
+    r = x[:K * L].reshape(K, L)
+    within = jax.lax.cummax(r, axis=1)
+    offs = jax.lax.cummax(within[:, -1])
+    offs = jnp.concatenate([jnp.full((1,), lo, x.dtype), offs[:-1]])
+    out = jnp.maximum(within, offs[:, None]).reshape(K * L)
+    if K * L != n:
+        tail = jnp.maximum(jax.lax.cummax(x[K * L:]), out[-1])
+        out = jnp.concatenate([out, tail])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Parent-index kernels (pure [N]-weights -> [N]-parents functions)
 # ---------------------------------------------------------------------------
 
@@ -77,13 +126,13 @@ def counts_to_parents(counts, n_out: int):
     O(N) compute / O(N) memory, the TPU speed-of-light formulation (the
     sort-based searchsorted alternative moves ~50x more HBM bytes)."""
     counts = counts.astype(jnp.int32)
-    cum = jnp.cumsum(counts)
+    cum = _cumsum1(counts)
     starts = cum - counts
     n = counts.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     slots = jnp.where(counts > 0, starts, n_out)  # dropped when count==0
     seeded = jnp.full((n_out,), -1, jnp.int32).at[slots].max(idx, mode="drop")
-    return jax.lax.cummax(seeded).astype(jnp.int32)
+    return _cummax1(seeded).astype(jnp.int32)
 
 
 def _pinned_F(cdf_hits, n_out: int):
@@ -91,7 +140,7 @@ def _pinned_F(cdf_hits, n_out: int):
     cumsum roundoff in the last slot). ``F_i`` = number of output slots with
     parent <= i; output j's parent is ``#{i : F_i <= j}``."""
     F = jnp.clip(cdf_hits, 0, n_out).at[-1].set(n_out)
-    return jax.lax.cummax(F)  # enforce monotone under roundoff
+    return _cummax1(F)  # enforce monotone under roundoff
 
 
 def _strata_counts(cdf_hits, n_out: int):
@@ -107,7 +156,7 @@ def stratified_F(key, weights, n_out: int | None = None):
     c_i = n·cumsum(w)_i — one gather instead of a sort-based search."""
     n_out = weights.shape[0] if n_out is None else n_out
     v = jr.uniform(key, (n_out,), dtype=jnp.float32)
-    c = n_out * jnp.cumsum(weights)
+    c = n_out * _cumsum1(weights)
     m = jnp.floor(c).astype(jnp.int32)
     mc = jnp.clip(m, 0, n_out - 1)
     frac_hit = (v[mc] <= c - m.astype(jnp.float32)) & (m < n_out)
@@ -128,7 +177,7 @@ def stratified_cu(key, weights, n_out: int | None = None):
     v = jr.uniform(key, (n_out,), dtype=jnp.float32)
     u = (jnp.arange(n_out, dtype=jnp.float32) + v) / n_out
     u = jnp.maximum(u, 1e-37)  # u[0]=0 would match no bracket (c_prev < u)
-    c = jax.lax.cummax(jnp.cumsum(weights))
+    c = _cummax1(_cumsum1(weights))
     return c / jnp.maximum(c[-1], 1e-37), u
 
 
@@ -137,7 +186,7 @@ def systematic_F(key, weights, n_out: int | None = None):
     uniform; F_i = ⌊n·cumsum(w)_i − u0⌋ + 1."""
     n_out = weights.shape[0] if n_out is None else n_out
     u0 = jr.uniform(key, (), dtype=jnp.float32)
-    c = n_out * jnp.cumsum(weights) - u0
+    c = n_out * _cumsum1(weights) - u0
     return _pinned_F(jnp.floor(c).astype(jnp.int32) + 1, n_out)
 
 
@@ -147,8 +196,7 @@ def _sorted_uniforms_cum(key, n: int):
     cummax enforces the non-decreasing contract the bracket kernels rely
     on (XLA's parallel-prefix cumsum is not locally monotone under f32
     rounding; see multinomial_cu)."""
-    return jax.lax.cummax(jnp.cumsum(jr.exponential(key, (n + 1,),
-                                                    jnp.float32)))
+    return _cummax1(_cumsum1(jr.exponential(key, (n + 1,), jnp.float32)))
 
 
 def _merge_count(c, u):
@@ -192,7 +240,7 @@ def _merge_count(c, u):
                           jnp.maximum(z, jnp.roll(z, d)))
             d >>= 1
     tags = z & 1
-    r = jnp.cumsum(tags) - tags              # rank among c at c slots
+    r = _cumsum1(tags) - tags              # rank among c at c slots
     F_at_slot = i - r                        # u's before this c
     return jnp.zeros((n,), jnp.int32).at[
         jnp.where(tags == 1, r, n)].set(F_at_slot, mode="drop")
@@ -221,7 +269,7 @@ def multinomial_cu(key, weights, n_out: int | None = None):
     # slot. cummax restores non-decreasing brackets exactly (an inversion
     # collapses to an empty bracket), the float analogue of _pinned_F's
     # monotone enforcement on the count paths.
-    c = jax.lax.cummax(jnp.cumsum(weights))
+    c = _cummax1(_cumsum1(weights))
     return c / jnp.maximum(c[-1], 1e-37), u
 
 
@@ -234,7 +282,7 @@ def multinomial_F(key, weights, n_out: int | None = None):
     parents, which the fused TPU resampling gather requires."""
     n_out = weights.shape[0] if n_out is None else n_out
     ce = _sorted_uniforms_cum(key, n_out)
-    c = jnp.cumsum(weights)
+    c = _cumsum1(weights)
     u = ce[:-1] / ce[-1]
     F = _merge_count(c / jnp.maximum(c[-1], 1e-37), u)
     return _pinned_F(F, n_out)
@@ -252,7 +300,7 @@ def residual_F(key, weights, n_out: int | None = None):
     det = jnp.floor(scaled).astype(jnp.int32)
     n_res = n_out - jnp.sum(det)
     resid = scaled - det.astype(weights.dtype)
-    rcum = jnp.cumsum(resid)
+    rcum = _cumsum1(resid)
     ce = _sorted_uniforms_cum(key, n_out)
     denom = ce[n_res]  # S_{R+1}: U_(j) = ce[j]/denom for j < R
     j = jnp.arange(n_out, dtype=jnp.int32)
@@ -260,7 +308,7 @@ def residual_F(key, weights, n_out: int | None = None):
     # low-bit tag packing in _merge_count stays order-preserving
     u = jnp.where(j < n_res, jnp.minimum(ce[:-1] / denom, 1.5), 1.75)
     F_res = _merge_count(rcum / jnp.maximum(rcum[-1], 1e-37), u)
-    return _pinned_F(jnp.cumsum(det) + F_res, n_out)
+    return _pinned_F(_cumsum1(det) + F_res, n_out)
 
 
 def residual_F_fused(key, weights, n_out: int | None = None,
@@ -282,7 +330,7 @@ def residual_F_fused(key, weights, n_out: int | None = None,
     # cummax: XLA's parallel-prefix cumsum is not locally monotone under
     # f32 rounding; see multinomial_cu (the kernel needs non-decreasing
     # brackets/queries)
-    rcum = jax.lax.cummax(jnp.cumsum(resid))
+    rcum = _cummax1(_cumsum1(resid))
     rc = rcum / jnp.maximum(rcum[-1], 1e-37)
     # a query of exactly 0.0 (zero-residual prefix) matches no bracket at
     # all (the condition is strictly c_prev < q); nudge it to the smallest
@@ -295,7 +343,7 @@ def residual_F_fused(key, weights, n_out: int | None = None,
     from ..ops.fused_gather import resample_gather_rows_u
     _, G = resample_gather_rows_u(jnp.zeros((0, n_out), jnp.int32), u, rc,
                                   interpret=interpret)
-    return _pinned_F(jnp.cumsum(det) + G, n_out)
+    return _pinned_F(_cumsum1(det) + G, n_out)
 
 
 def _F_to_parents(F, n_out: int):

@@ -32,7 +32,8 @@ from ..core.choicemap import ChoiceMap, EMPTY
 from ..core.gfi import GenFn
 from ..utils.weights import safe_softmax, apply_check, logsumexp
 from .state import ParticleFilterState
-from .resample import (multinomial_parents, residual_parents, _gather_traces)
+from .resample import (multinomial_parents, residual_parents, _gather_traces,
+                       _cumsum1, _cummax1)
 
 __all__ = ["pf_resize", "pf_multinomial_resize", "pf_residual_resize",
            "pf_optimal_resize", "find_inv_w_threshold",
@@ -156,20 +157,20 @@ def pf_optimal_resize(key, state, n_particles: int, check="warn"):
     mstrat = jnp.where(jnp.isfinite(mstrat), mstrat, 0.0)
     es = jnp.where(keep, 0.0, jnp.exp(lw_strat - mstrat))
     p = es / jnp.maximum(jnp.sum(es), 1e-37)
-    cum = jnp.cumsum(p)
+    cum = _cumsum1(p)
     # counts formulation with the final cumulative pinned to n_res: exactly
     # n_res picks even under f32 cumsum roundoff (no unwritten ghost slots)
     n_res = (m - n_keep).astype(jnp.int32)
     u = jr.uniform(key, (), jnp.float32)
     F = jnp.floor(n_res.astype(jnp.float32) * cum - u).astype(jnp.int32) + 1
     F = jnp.clip(F, 0, n_res).at[-1].set(n_res)
-    F = jax.lax.cummax(F)
+    F = _cummax1(F)
     counts = F - jnp.concatenate([jnp.zeros((1,), F.dtype), F[:-1]])
     from .resample import counts_to_parents
     res_parents = counts_to_parents(counts, m)  # first n_res entries valid
 
     # output layout: kept first (index order), then the resampled picks
-    rank_keep = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    rank_keep = _cumsum1(keep.astype(jnp.int32)) - 1
     pos_keep = jnp.where(keep, rank_keep, m)  # m => dropped
     src = jnp.arange(n_old, dtype=jnp.int32)
     j = jnp.arange(m, dtype=jnp.int32)
@@ -334,7 +335,7 @@ def pf_coalesce(state, by=None) -> ParticleFilterState:
     sorted_rows = mat[order]
     differs = jnp.any(sorted_rows[1:] != sorted_rows[:-1], axis=1)
     gid_sorted = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                  jnp.cumsum(differs.astype(jnp.int32))])
+                                  _cumsum1(differs.astype(jnp.int32))])
     gid = jnp.zeros((n,), jnp.int32).at[order].set(gid_sorted)
     n_unique = gid_sorted[-1] + 1
     # representative = min original index per group
