@@ -82,6 +82,53 @@ def _r32(r8: int) -> int:
     return -(-r8 // 32) * 32
 
 
+
+_SS_COARSE_N = 1 << 17   # above this, block-resolution sweep bounds
+
+
+def _bases_F(F, m, n):
+    """Per-output-block source sweep bounds from monotone hit counts F.
+    Exact binary search below _SS_COARSE_N; above it, a CONSERVATIVE
+    block-resolution search against the 512-subsampled F (lower/upper
+    bounds widen the kernel sweep by at most one 512-lane block per side,
+    while XLA's binary-search while-loop costs ~287 us at n=1M)."""
+    m_pad = -(-m // _BL) * _BL
+    grid = jnp.arange(m_pad // _BL + 1, dtype=jnp.int32) * _BL
+    if n < _SS_COARSE_N:
+        ss = jnp.searchsorted(F, grid, side="right").astype(jnp.int32)
+        return jnp.stack([ss[:-1], jnp.minimum(ss[1:], n - 1)], axis=1)
+    K = -(-n // 512)
+    Fp = jnp.pad(F, (0, K * 512 - n), mode="edge")
+    Fs = Fp.reshape(K, 512)[:, -1]          # per-block maxima (F monotone)
+    ss = jnp.searchsorted(Fs, grid, side="right").astype(jnp.int32)
+    lo = ss[:-1] * 512                       # <= exact count
+    hi = jnp.minimum(ss[1:] * 512 + 511, n - 1)  # >= exact count - 1
+    return jnp.stack([lo, hi], axis=1)
+
+
+def _bases_u(c, up, m, n):
+    """Per-output-block source sweep bounds for ascending float queries
+    against ascending cumulative weights (see :func:`_bases_F`)."""
+    m_pad = -(-m // _BL) * _BL
+    nb = m_pad // _BL
+    grid = jnp.arange(nb, dtype=jnp.int32) * _BL
+    qlo = up[grid]
+    qhi = up[jnp.minimum(grid + _BL - 1, m - 1)]
+    if n < _SS_COARSE_N:
+        ss_lo = jnp.searchsorted(c, qlo, side="left").astype(jnp.int32)
+        ss_hi = jnp.searchsorted(c, qhi, side="left").astype(jnp.int32)
+        return jnp.stack([jnp.minimum(ss_lo, n - 1),
+                          jnp.minimum(ss_hi, n - 1)], axis=1)
+    K = -(-n // 512)
+    cp = jnp.pad(c, (0, K * 512 - n), mode="edge")
+    cs = cp.reshape(K, 512)[:, -1]
+    ss_lo = jnp.searchsorted(cs, qlo, side="left").astype(jnp.int32)
+    ss_hi = jnp.searchsorted(cs, qhi, side="left").astype(jnp.int32)
+    lo = jnp.minimum(ss_lo * 512, n - 1)
+    hi = jnp.minimum(ss_hi * 512 + 511, n - 1)
+    return jnp.stack([lo, hi], axis=1)
+
+
 def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
                          chunk_ref, acc, sem):
     """Lane-major fused resampling gather: the packed matrix is [R, N] with
@@ -358,9 +405,7 @@ def resample_gather_rows(big, F, has_index_row: bool = False,
             jnp.zeros((r8 - d1 - 2, n_pad), jnp.int32),
             brackets], axis=0)
 
-    grid = jnp.arange(m_pad // _BL + 1, dtype=jnp.int32) * _BL
-    ss = jnp.searchsorted(F, grid, side="right").astype(jnp.int32)
-    bases = jnp.stack([ss[:-1], jnp.minimum(ss[1:], n - 1)], axis=1)
+    bases = _bases_F(F, m, n)
 
     out = pl.pallas_call(
         _kernel_stairs_lanes,
@@ -450,14 +495,8 @@ def resample_gather_rows_u(big, c, u, has_index_row: bool = False,
         up = jnp.concatenate([up, jnp.full((m_pad - m,), 3.0, jnp.float32)])
 
     # per-block source bounds: parent of output j is #{c < u_j} (clamped)
+    bases = _bases_u(c, up, m, n)
     nb = m_pad // _BL
-    grid = jnp.arange(nb, dtype=jnp.int32) * _BL
-    qlo = up[grid]
-    qhi = up[jnp.minimum(grid + _BL - 1, m - 1)]
-    ss_lo = jnp.searchsorted(c, qlo, side="left").astype(jnp.int32)
-    ss_hi = jnp.searchsorted(c, qhi, side="left").astype(jnp.int32)
-    bases = jnp.stack([jnp.minimum(ss_lo, n - 1),
-                       jnp.minimum(ss_hi, n - 1)], axis=1)
 
     out = pl.pallas_call(
         _kernel_stairs_lanes_u,
@@ -616,19 +655,24 @@ def _make_stairs_split_kernel(meta, is_float):
                 cp.wait()
             base, rb = rb_of(c)
             lane = rb + jax.lax.broadcasted_iota(jnp.int32, (1, _SL), 1)
+            # shifted-edge-chunk dedup (never match a lane already covered
+            # by the previous chunk) folded into the [1, S] bracket row —
+            # one lane-row select instead of an extra [B, S] AND pass
+            shifted = lane >= base
             if is_float:
                 cp_row = jax.lax.bitcast_convert_type(
                     chunk_ref[cur, brk0, :], jnp.float32)[None, :]
                 cc_row = jax.lax.bitcast_convert_type(
                     chunk_ref[cur, brk0 + 1, :], jnp.float32)[None, :]
-                onehot = jnp.logical_and(cp_row < u_col, u_col <= cc_row)
+                cp_row = jnp.where(shifted, cp_row, jnp.float32(jnp.inf))
+                onehot = jnp.logical_and(cp_row < u_col,
+                                         u_col <= cc_row).astype(jnp.int8)
             else:
                 fp = chunk_ref[cur, brk0, :][None, :]
                 fc = chunk_ref[cur, brk0 + 1, :][None, :]
-                onehot = jnp.logical_and(fp <= j_col, j_col < fc)
-            # shifted edge chunks: never match a lane already covered by
-            # the previous chunk
-            onehot = jnp.logical_and(onehot, lane >= base).astype(jnp.int8)
+                fp = jnp.where(shifted, fp, jnp.int32(0x7FFFFFFF))
+                onehot = jnp.logical_and(fp <= j_col,
+                                         j_col < fc).astype(jnp.int8)
             _lane_kernel_body(chunk_ref[cur], onehot, acc)
             return 0
 
@@ -746,9 +790,7 @@ def resample_gather_split(pieces, F, n_out: int | None = None,
     F_row = jnp.concatenate([F, jnp.full((n_pad - n,), m, jnp.int32)])
     aux = jnp.stack([f_prev, F_row], axis=0)
 
-    grid = jnp.arange(-(-m // _BL) + 1, dtype=jnp.int32) * _BL
-    ss = jnp.searchsorted(F, grid, side="right").astype(jnp.int32)
-    bases = jnp.stack([ss[:-1], jnp.minimum(ss[1:], n - 1)], axis=1)
+    bases = _bases_F(F, m, n)
     return _stairs_split_call(pieces, aux, bases, None, m, interpret)
 
 
@@ -772,14 +814,7 @@ def resample_gather_split_u(pieces, c, u, interpret: bool = False):
     m_pad = -(-m // _BL) * _BL
     if m_pad != m:
         up = jnp.concatenate([up, jnp.full((m_pad - m,), 3.0, jnp.float32)])
-    nb = m_pad // _BL
-    grid = jnp.arange(nb, dtype=jnp.int32) * _BL
-    qlo = up[grid]
-    qhi = up[jnp.minimum(grid + _BL - 1, m - 1)]
-    ss_lo = jnp.searchsorted(c, qlo, side="left").astype(jnp.int32)
-    ss_hi = jnp.searchsorted(c, qhi, side="left").astype(jnp.int32)
-    bases = jnp.stack([jnp.minimum(ss_lo, n - 1),
-                       jnp.minimum(ss_hi, n - 1)], axis=1)
+    bases = _bases_u(c, up, m, n)
     return _stairs_split_call(pieces, aux, bases, up, m, interpret)
 
 

@@ -16,6 +16,8 @@ RESIZING: every filter runs a mid-stream pf_resize 1M -> 500K -> 1M
 Usage: nohup python scripts/config45_bench.py > /tmp/config45.log 2>&1 &
 """
 
+import json
+import os
 import sys
 import time
 from functools import partial
@@ -56,7 +58,12 @@ def time_chained(tag, run_one, ks=(2, 22), reps=4, work=1):
         best = min(best, (e2 - e1) / (ks[1] - ks[0]))
     ups = work / best
     print(f"{tag}: {best*1e3:.1f} ms/run -> {ups:,.0f} updates/s", flush=True)
+    _RESULTS.append({"config": tag, "ms_per_run": round(best * 1e3, 2),
+                     "updates_per_s": round(ups)})
     return best
+
+
+_RESULTS = []
 
 
 def config4():
@@ -177,6 +184,14 @@ def main():
     config4()
     config4_smcp3()
     config5()
+    # BENCH-style artifact for the judge (VERDICT r4 next #8): one JSON
+    # row per config, committed alongside the driver's BENCH_rNN
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "CONFIG_BENCH_r05.json")
+    with open(path, "w") as f:
+        json.dump({"device": str(jax.devices()[0]),
+                   "rows": _RESULTS}, f, indent=1)
+    print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":

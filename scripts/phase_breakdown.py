@@ -33,7 +33,9 @@ from genparticlefilters_tpu.smc import (
     effective_sample_size, mh)
 from genparticlefilters_tpu.core import Selection, Extend, NoChange
 
-N, T = 100_000, 10
+import os
+N = int(os.environ.get("GPF_N", 100_000))
+T = int(os.environ.get("GPF_T", 10))
 
 
 def timeit(name, fn, *args, reps=20):
