@@ -690,6 +690,160 @@ def _make_stairs_split_kernel(meta, is_float):
     return kern
 
 
+_SLAB = 1024   # lanes per block-level slab DMA (slab kernel variant)
+
+
+def _make_stairs_slab_kernel(meta, is_float, nb):
+    """Slab variant of the split kernel: per OUTPUT BLOCK, one slab DMA of
+    ``_SLAB`` lanes per input (double-buffered ACROSS grid steps — block
+    i+1's slab loads while block i computes), statically-unrolled
+    sub-chunk matmuls sliced from VMEM, and a rare residual chunk loop for
+    weight-skewed blocks whose parent range overflows the slab. This
+    amortizes the per-chunk DMA issue/wait cost that dominates the v1
+    kernel at large N (measured ~2.6 ms of a 4.1 ms 42-row gather at
+    N=1M with near-uniform weights). Out-of-range lanes are inert by
+    construction — their brackets cannot match this block's outputs — so
+    slab over-coverage is pure (small) extra matmul work, never a
+    correctness concern."""
+    (n_pieces, heads, tails, A, aux8, rt, d_rec, r32, n128) = meta
+    idx_row = A + rt
+    brk0 = A + rt + 1
+    NSUB = _SLAB // _SL
+    H = len(heads)
+
+    def kern(*refs):
+        if is_float:
+            bases_ref, u_ref = refs[0], refs[1]
+            aux_ref = refs[2]
+            pieces = refs[3:3 + n_pieces]
+            rest = refs[3 + n_pieces:]
+        else:
+            bases_ref = refs[0]
+            aux_ref = refs[1]
+            pieces = refs[2:2 + n_pieces]
+            rest = refs[2 + n_pieces:]
+        outs = rest[:n_pieces]
+        parents_ref = rest[n_pieces]
+        slab_ref, chunk_ref, acc, sem_s, sem_c = rest[n_pieces + 1:]
+
+        i = pl.program_id(0)
+        lo = bases_ref[i, 0]
+        hi = bases_ref[i, 1]
+
+        def rb0_of(blk):
+            lo_al = (bases_ref[blk, 0] // 128) * 128
+            return (jnp.minimum(lo_al, n128 - _SLAB) // 128) * 128
+
+        def slab_dmas(blk, buf):
+            rb = rb0_of(blk)
+            cps = []
+            k = 0
+            for (p_idx, off, hw) in heads:
+                cps.append(pltpu.make_async_copy(
+                    pieces[p_idx].at[:hw, pl.ds(rb, _SLAB)],
+                    slab_ref.at[buf, off:off + hw], sem_s.at[buf, k]))
+                k += 1
+            cps.append(pltpu.make_async_copy(
+                aux_ref.at[:, pl.ds(rb, _SLAB)],
+                slab_ref.at[buf, A:A + aux8], sem_s.at[buf, k]))
+            return cps
+
+        cur = jax.lax.rem(i, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for cp in slab_dmas(0, 0):
+                cp.start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for cp in slab_dmas(i + 1, 1 - cur):
+                cp.start()
+
+        if is_float:
+            u_col = u_ref[...].astype(jnp.float32)      # [B, 1]
+        else:
+            j_col = i * _BL + jax.lax.broadcasted_iota(
+                jnp.int32, (_BL, 1), 0)
+
+        acc[:] = jnp.zeros_like(acc)
+        for cp in slab_dmas(i, cur):
+            cp.wait()
+
+        rb0 = rb0_of(i)
+
+        def select_body(vals, lane, premask_base):
+            """One [*, S] sub-chunk: build the one-hot from the bracket
+            rows (with optional shifted-coverage premask) + accumulate."""
+            if is_float:
+                cp_row = jax.lax.bitcast_convert_type(
+                    vals[brk0, :], jnp.float32)[None, :]
+                cc_row = jax.lax.bitcast_convert_type(
+                    vals[brk0 + 1, :], jnp.float32)[None, :]
+                if premask_base is not None:
+                    cp_row = jnp.where(lane >= premask_base, cp_row,
+                                       jnp.float32(jnp.inf))
+                onehot = jnp.logical_and(cp_row < u_col,
+                                         u_col <= cc_row).astype(jnp.int8)
+            else:
+                fp = vals[brk0, :][None, :]
+                fc = vals[brk0 + 1, :][None, :]
+                if premask_base is not None:
+                    fp = jnp.where(lane >= premask_base, fp,
+                                   jnp.int32(0x7FFFFFFF))
+                onehot = jnp.logical_and(fp <= j_col,
+                                         j_col < fc).astype(jnp.int8)
+            _lane_kernel_body(vals, onehot, acc)
+
+        # statically-unrolled slab sub-chunks (disjoint lanes, no premask)
+        for k in range(NSUB):
+            vals = slab_ref[cur, :, k * _SL:(k + 1) * _SL]
+            lane = (rb0 + k * _SL
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, _SL), 1))
+            select_body(vals, lane, None)
+
+        # residual chunks for ranges overflowing the slab (rare)
+        n_res = jnp.maximum(0, (hi - rb0) // _SL + 1 - NSUB)
+        max_rb = max(n128 - _SL, 0)
+
+        @pl.when(n_res > 0)
+        def _():
+            def res_body(c, _):
+                base = rb0 + (NSUB + c) * _SL
+                rc = (jnp.minimum(base, max_rb) // 128) * 128
+                cps = []
+                k = 0
+                for (p_idx, off, hw) in heads:
+                    cps.append(pltpu.make_async_copy(
+                        pieces[p_idx].at[:hw, pl.ds(rc, _SL)],
+                        chunk_ref.at[0, off:off + hw], sem_c.at[k]))
+                    k += 1
+                cps.append(pltpu.make_async_copy(
+                    aux_ref.at[:, pl.ds(rc, _SL)],
+                    chunk_ref.at[0, A:A + aux8], sem_c.at[k]))
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                lane = rc + jax.lax.broadcasted_iota(jnp.int32, (1, _SL), 1)
+                select_body(chunk_ref[0], lane, base)
+                return 0
+
+            jax.lax.fori_loop(0, n_res, res_body, 0)
+
+        full = _lane_kernel_out(acc, r32, d_rec)
+        for out_ref, (ho, hw, toff, tw) in zip(outs, tails):
+            parts = []
+            if hw:
+                parts.append(full[ho:ho + hw, :])
+            if tw:
+                parts.append(full[A + toff:A + toff + tw, :])
+            out_ref[...] = (parts[0] if len(parts) == 1
+                            else jnp.concatenate(parts, axis=0))
+        parents_ref[...] = full[idx_row:idx_row + 1, :]
+    return kern
+
+
 def _stairs_split_call(pieces, brackets, bases, u, m, interpret):
     """Shared driver for the split kernels: returns (outs, parents).
     ``brackets``: [2, n_pad] int32 (bit patterns)."""
@@ -740,7 +894,11 @@ def _stairs_split_call(pieces, brackets, bases, u, m, interpret):
     is_float = u is not None
     meta = (len(pieces), tuple(heads), tuple(tails), A, aux8, rt,
             max(d_rec, 1), r32, n128)
-    kern = _make_stairs_split_kernel(meta, is_float)
+    use_slab = n128 >= _SLAB
+    if use_slab:
+        kern = _make_stairs_slab_kernel(meta, is_float, m_pad // _BL)
+    else:
+        kern = _make_stairs_split_kernel(meta, is_float)
     out_shape = ([jax.ShapeDtypeStruct((w, m_pad), jnp.int32)
                   for w in widths]
                  + [jax.ShapeDtypeStruct((1, m_pad), jnp.int32)])
@@ -760,11 +918,16 @@ def _stairs_split_call(pieces, brackets, bases, u, m, interpret):
             grid=(m_pad // _BL,),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((2, r32, _SL), jnp.int32),
-                pltpu.VMEM((4 * r32, _BL), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, len(heads) + 1)),
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((2, r32, _SLAB), jnp.int32),
+                 pltpu.VMEM((1, r32, _SL), jnp.int32),
+                 pltpu.VMEM((4 * r32, _BL), jnp.int32),
+                 pltpu.SemaphoreType.DMA((2, len(heads) + 1)),
+                 pltpu.SemaphoreType.DMA((len(heads) + 1,))]
+                if use_slab else
+                [pltpu.VMEM((2, r32, _SL), jnp.int32),
+                 pltpu.VMEM((4 * r32, _BL), jnp.int32),
+                 pltpu.SemaphoreType.DMA((2, len(heads) + 1))]),
         ),
         interpret=interpret,
     )(bases, *args)

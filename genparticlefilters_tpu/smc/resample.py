@@ -601,7 +601,7 @@ def _gather_traces_from_F(traces, F, n_out: int | None = None):
         parents = _F_to_parents(F, m)
         bigT = jax.lax.optimization_barrier(
             jnp.take(big, parents, axis=1))[:-1]
-    elif n_src >= 512 and packed and n_src * d1 >= (16 << 20):
+    elif n_src >= 1024 and packed:
         # pack-free split path: pieces read in place, one gathered output
         # PER PIECE (the packed-storage mat comes back shape-identical) —
         # no packed matrix on either side of the kernel. Gated to LARGE
@@ -647,7 +647,7 @@ def _gather_traces_from_cu(traces, c, u):
         else:
             from ..ops.fused_gather import resample_gather_rows
             bigT, parents = resample_gather_rows(big, F, has_index_row=True)
-    elif n_src >= 512 and packed and n_src * d1 >= (16 << 20):
+    elif n_src >= 1024 and packed:
         # pack-free split path (see _gather_traces_from_F; same size gate)
         from ..ops.fused_gather import resample_gather_split_u
         outs, parents = resample_gather_split_u(packed, c, u)

@@ -482,6 +482,29 @@ def test_resample_gather_split_u_interpret():
         off += wd
 
 
+def test_resample_gather_split_slab_residual_interpret():
+    # weights on every 8th particle: each 512-output block's parents span
+    # ~4096 source lanes, overflowing the slab kernel's 1024-lane slab —
+    # forces the residual chunk loop (and its shifted-coverage premask)
+    from genparticlefilters_tpu.ops.fused_gather import (
+        resample_gather_rows, resample_gather_split)
+    from genparticlefilters_tpu.smc.resample import systematic_F
+    n = 4096
+    pieces = [jr.randint(jr.key(31), (9, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32),
+              jr.randint(jr.key(32), (1, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32)]
+    big = jnp.concatenate(pieces, axis=0)
+    w = jnp.where(jnp.arange(n) % 8 == 0, 1.0, 0.0)
+    w = w / w.sum()
+    F = systematic_F(jr.key(33), w)
+    ref_out, ref_par = resample_gather_rows(big, F, interpret=True)
+    outs, parents = resample_gather_split(pieces, F, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents), np.asarray(ref_par))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate(outs, axis=0)), np.asarray(ref_out))
+
+
 def test_resample_gather_split_degenerate_interpret():
     # all mass on one particle: every output comes from a single source
     # lane; also exercises the shifted-edge-chunk mask at the array end
