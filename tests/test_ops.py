@@ -356,6 +356,25 @@ def test_blockwise_compose_multinomial_boundary_collapse(K):
                                   np.asarray(jnp.take(big, parents, axis=1)))
 
 
+@pytest.mark.parametrize("n", [100, 4096, 5000, 100_001])
+def test_blocked_scans_match_xla(n):
+    # _cumsum1/_cummax1 (blocked reformulation of the pathological XLA 1-D
+    # scans) must agree with the XLA ops: exactly for int32, and within
+    # reordering roundoff for f32 — with monotone enforcement preserved
+    from genparticlefilters_tpu.smc.resample import _cumsum1, _cummax1
+    xi = jr.randint(jr.key(1), (n,), -50, 50, jnp.int32)
+    np.testing.assert_array_equal(np.asarray(_cumsum1(xi)),
+                                  np.cumsum(np.asarray(xi)))
+    np.testing.assert_array_equal(np.asarray(_cummax1(xi)),
+                                  np.maximum.accumulate(np.asarray(xi)))
+    xf = jr.uniform(jr.key(2), (n,), jnp.float32)
+    np.testing.assert_allclose(np.asarray(_cumsum1(xf)),
+                               np.cumsum(np.asarray(xf, np.float64)),
+                               rtol=2e-6, atol=2e-3)
+    cm = np.asarray(_cummax1(_cumsum1(xf)))
+    assert (np.diff(cm) >= 0).all()
+
+
 def test_blockwise_compose_stratified_matches_per_block():
     # composed (c', u') for UNSORTED stratified through the float-bracket
     # kernel == per-block merge-count parents on the same draws
