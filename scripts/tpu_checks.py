@@ -147,6 +147,28 @@ def main():
             check(f"split_u_vs_pack_hw_n{n}", equ and eqo,
                   f"float-bracket split kernel bit-equal on hardware")
 
+    # slab-kernel RESIDUAL loop on hardware: weights on every 8th particle
+    # spread each output block's parents over ~8*B lanes, overflowing the
+    # 1024-lane slab so the in-kernel residual DMA loop (and its
+    # shifted-coverage premask) must run
+    n = 100_000
+    widths = (40, 1, 7)
+    pieces = [jr.randint(jr.key(201 + i), (w, n), -2**31, 2**31 - 1,
+                         dtype=jnp.int32) for i, w in enumerate(widths)]
+    big = jnp.concatenate(pieces, axis=0)
+    w = jnp.where(jnp.arange(n) % 8 == 0, 1.0, 0.0)
+    w = w / w.sum()
+    F = systematic_F(jr.key(202), w)
+    outs, par_s = jax.jit(
+        lambda p, F: resample_gather_split(p, F))(pieces, F)
+    truth = jnp.take(big, par_s, axis=1)
+    ok = np.array_equal(np.asarray(jnp.concatenate(outs, axis=0)),
+                        np.asarray(truth))
+    stride_ok = bool((np.asarray(par_s) % 8 == 0).all())
+    check("split_slab_residual_hw", ok and stride_ok,
+          f"slab-overflow residual loop on hardware == jnp.take truth "
+          f"(parents all stride-8: {stride_ok})")
+
     path = __file__.rsplit("/", 2)[0] + "/TPU_CHECKS_r05.json"
     with open(path, "w") as f:
         json.dump(RESULTS, f, indent=1)
