@@ -407,9 +407,13 @@ class Unfold(GenFn):
         # all max_steps — pf_initialize at t_active=1 is the dominant case
         # (weight = score − logq = Σ log p(constrained), the generate
         # contract; values/masks at inactive steps are structural zeros
-        # either way)
-        if not isinstance(t_active, jax.core.Tracer):
-            k_static = int(t_active)
+        # either way). Staticness is judged on the RAW args[0]: JAX >= 0.9
+        # lifts ``jnp.asarray(1)`` to a tracer under an active trace, so
+        # checking the converted ``t_active`` would (silently) disable this
+        # path under jit — the full-T scan cost ~0.5 ms of the 2.2 ms
+        # N=100K headline filter before this was caught on an xprof trace
+        if not isinstance(args[0], jax.core.Tracer):
+            k_static = int(args[0])
             if 0 < k_static <= 2 and self.T > k_static:
                 tr0 = self._empty_trace(key, args, constraints)
                 new_tr, logq, _ = self._update_extend(
@@ -446,9 +450,10 @@ class Unfold(GenFn):
 
         # eager coverage check: every active step of every address must be
         # constrained (a plain @gen model raises on a missing address; the
-        # dense-mask representation would otherwise silently score zeros)
-        if not isinstance(t_active, jax.core.Tracer):
-            act = jnp.arange(self.T) < int(t_active)
+        # dense-mask representation would otherwise silently score zeros).
+        # Raw-args staticness, not the asarray'd t_active (see generate)
+        if not isinstance(args[0], jax.core.Tracer):
+            act = jnp.arange(self.T) < int(args[0])
             for k2, e in dense.entries.items():
                 m = e.mask
                 m = jnp.asarray(m, bool) if m is not True else jnp.ones(
@@ -554,8 +559,8 @@ class Unfold(GenFn):
         eagerly; under jit the caller owns the promise)."""
         t_new, state0, params = self._split_args(new_args)
         t_old = tr.inner["t"]
-        if not isinstance(t_new, jax.core.Tracer):
-            if int(t_new) > self.T:
+        if not isinstance(new_args[0], jax.core.Tracer):
+            if int(new_args[0]) > self.T:
                 raise ValueError(
                     f"Extend({k}) would grow the Unfold past max_steps="
                     f"{self.T} (new active length {int(t_new)})")
