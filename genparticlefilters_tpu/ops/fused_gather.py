@@ -36,7 +36,7 @@ __all__ = ["gather_transposed_clustered", "resample_gather_transposed",
            "resample_gather_split_u"]
 
 _BL = 512   # output lanes per grid step (lane-major kernels)
-_SL = 512   # source lanes per DMA chunk (lane-major kernels)
+_SL = 1024  # source lanes per DMA chunk (lane-major kernels)
 
 
 def _lane_kernel_body(vals, onehot, acc):
@@ -83,27 +83,44 @@ def _r32(r8: int) -> int:
 
 
 
-_SS_COARSE_N = 1 << 17   # above this, block-resolution sweep bounds
+def _ss_two_level(a, q, side):
+    """Exact searchsorted of an ascending [n] array against [Q] queries
+    WITHOUT XLA's binary-search while-loop lowering (measured ~30 µs per
+    call at n=100K, ~287 µs at n=1M): a coarse block index from one
+    [Q, n/512] compare-sum against the per-512-block maxima, then an exact
+    in-block count on the gathered 512-lane row. Exact for both sides
+    because the edge-padding (value a[-1]) can only miscount when the
+    query already clears the last block's maximum, in which case the
+    coarse index is K and the padded row is never consulted."""
+    n = a.shape[0]
+    K = -(-n // 512)
+    ap = jnp.pad(a, (0, K * 512 - n), mode="edge")
+    rows = ap.reshape(K, 512)
+    tops = rows[:, -1]
+    if side == "right":
+        blk = jnp.sum((tops[None, :] <= q[:, None]).astype(jnp.int32),
+                      axis=1)
+        row = rows[jnp.clip(blk, 0, K - 1)]
+        cnt = jnp.sum((row <= q[:, None]).astype(jnp.int32), axis=1)
+    else:
+        blk = jnp.sum((tops[None, :] < q[:, None]).astype(jnp.int32),
+                      axis=1)
+        row = rows[jnp.clip(blk, 0, K - 1)]
+        cnt = jnp.sum((row < q[:, None]).astype(jnp.int32), axis=1)
+    return jnp.where(blk >= K, n, blk * 512 + cnt).astype(jnp.int32)
 
 
 def _bases_F(F, m, n):
-    """Per-output-block source sweep bounds from monotone hit counts F.
-    Exact binary search below _SS_COARSE_N; above it, a CONSERVATIVE
-    block-resolution search against the 512-subsampled F (lower/upper
-    bounds widen the kernel sweep by at most one 512-lane block per side,
-    while XLA's binary-search while-loop costs ~287 us at n=1M)."""
+    """Per-output-block source sweep bounds from monotone hit counts F —
+    exact at every n (two-level search; no while-loop, no conservative
+    widening of the kernel sweep)."""
     m_pad = -(-m // _BL) * _BL
     grid = jnp.arange(m_pad // _BL + 1, dtype=jnp.int32) * _BL
-    if n < _SS_COARSE_N:
+    if n < 4096:
         ss = jnp.searchsorted(F, grid, side="right").astype(jnp.int32)
-        return jnp.stack([ss[:-1], jnp.minimum(ss[1:], n - 1)], axis=1)
-    K = -(-n // 512)
-    Fp = jnp.pad(F, (0, K * 512 - n), mode="edge")
-    Fs = Fp.reshape(K, 512)[:, -1]          # per-block maxima (F monotone)
-    ss = jnp.searchsorted(Fs, grid, side="right").astype(jnp.int32)
-    lo = ss[:-1] * 512                       # <= exact count
-    hi = jnp.minimum(ss[1:] * 512 + 511, n - 1)  # >= exact count - 1
-    return jnp.stack([lo, hi], axis=1)
+    else:
+        ss = _ss_two_level(F, grid, "right")
+    return jnp.stack([ss[:-1], jnp.minimum(ss[1:], n - 1)], axis=1)
 
 
 def _bases_u(c, up, m, n):
@@ -114,19 +131,14 @@ def _bases_u(c, up, m, n):
     grid = jnp.arange(nb, dtype=jnp.int32) * _BL
     qlo = up[grid]
     qhi = up[jnp.minimum(grid + _BL - 1, m - 1)]
-    if n < _SS_COARSE_N:
+    if n < 4096:
         ss_lo = jnp.searchsorted(c, qlo, side="left").astype(jnp.int32)
         ss_hi = jnp.searchsorted(c, qhi, side="left").astype(jnp.int32)
-        return jnp.stack([jnp.minimum(ss_lo, n - 1),
-                          jnp.minimum(ss_hi, n - 1)], axis=1)
-    K = -(-n // 512)
-    cp = jnp.pad(c, (0, K * 512 - n), mode="edge")
-    cs = cp.reshape(K, 512)[:, -1]
-    ss_lo = jnp.searchsorted(cs, qlo, side="left").astype(jnp.int32)
-    ss_hi = jnp.searchsorted(cs, qhi, side="left").astype(jnp.int32)
-    lo = jnp.minimum(ss_lo * 512, n - 1)
-    hi = jnp.minimum(ss_hi * 512 + 511, n - 1)
-    return jnp.stack([lo, hi], axis=1)
+    else:
+        ss_lo = _ss_two_level(c, qlo, "left")
+        ss_hi = _ss_two_level(c, qhi, "left")
+    return jnp.stack([jnp.minimum(ss_lo, n - 1),
+                      jnp.minimum(ss_hi, n - 1)], axis=1)
 
 
 def _kernel_stairs_lanes(bases_ref, src_ref, out_ref,
@@ -583,10 +595,12 @@ def _make_stairs_split_kernel(meta, is_float):
     ``min(base, n128 - S)`` so no read passes the 128-lane-padded physical
     end of a piece (a fully OOB manual DMA faults the TPU worker; padding
     lanes get never-matching brackets); a ``lane >= base`` mask keeps
-    shifted chunks from matching a lane twice. Requires n >= _SL; in
+    shifted chunks from matching a lane twice. Requires n >= S (the
+    per-path chunk width from meta: 512 on this small-n kernel so pieces
+    down to n=600 stay DMA-able, _SL on the slab kernel); in
     interpret mode the driver lane-pads pieces to n128 so the emulated
     dynamic_slice clamping agrees with hardware."""
-    (n_pieces, heads, tails, A, aux8, rt, d_rec, r32, n128) = meta
+    (n_pieces, heads, tails, A, aux8, rt, d_rec, r32, n128, _SL) = meta
     idx_row = A + rt       # lane-index row; brackets follow it
     brk0 = A + rt + 1
 
@@ -705,7 +719,7 @@ def _make_stairs_slab_kernel(meta, is_float, nb):
     construction — their brackets cannot match this block's outputs — so
     slab over-coverage is pure (small) extra matmul work, never a
     correctness concern."""
-    (n_pieces, heads, tails, A, aux8, rt, d_rec, r32, n128) = meta
+    (n_pieces, heads, tails, A, aux8, rt, d_rec, r32, n128, _SL) = meta
     idx_row = A + rt
     brk0 = A + rt + 1
     NSUB = _SLAB // _SL
@@ -892,16 +906,27 @@ def _stairs_split_call(pieces, brackets, bases, u, m, interpret):
     r32 = _r32(max(A + aux8, 8))
     m_pad = -(-m // _BL) * _BL
     is_float = u is not None
-    meta = (len(pieces), tuple(heads), tuple(tails), A, aux8, rt,
-            max(d_rec, 1), r32, n128)
     use_slab = n128 >= _SLAB
+    # chunk lane width: _SL on the slab kernel (fewer, bigger sub-chunk
+    # matmuls); 512 on the small-n kernel so pieces narrower than _SL
+    # (n128 >= 640 after tile padding) stay DMA-able in place
+    S = _SL if use_slab else min(_SL, 512)
+    meta = (len(pieces), tuple(heads), tuple(tails), A, aux8, rt,
+            max(d_rec, 1), r32, n128, S)
     if use_slab:
         kern = _make_stairs_slab_kernel(meta, is_float, m_pad // _BL)
     else:
         kern = _make_stairs_split_kernel(meta, is_float)
-    out_shape = ([jax.ShapeDtypeStruct((w, m_pad), jnp.int32)
+    # outputs are [w, m] (NOT m_pad): Mosaic masks the final partial
+    # lane block's stores, which saves XLA a full [Σw, m] copy just to
+    # drop the padding (measured 24.5 µs per resample at N=100K). The
+    # interpreter CLAMPS the final block's store offset instead of
+    # masking (it would overwrite earlier lanes), so interpret mode keeps
+    # the padded outputs + the explicit slice.
+    m_out = m_pad if interpret else m
+    out_shape = ([jax.ShapeDtypeStruct((w, m_out), jnp.int32)
                   for w in widths]
-                 + [jax.ShapeDtypeStruct((1, m_pad), jnp.int32)])
+                 + [jax.ShapeDtypeStruct((1, m_out), jnp.int32)])
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     in_specs = ([pl.BlockSpec((_BL, 1), lambda i, bases: (i, 0),
                               memory_space=pltpu.VMEM)] if is_float else [])
@@ -920,12 +945,12 @@ def _stairs_split_call(pieces, brackets, bases, u, m, interpret):
             out_specs=out_specs,
             scratch_shapes=(
                 [pltpu.VMEM((2, r32, _SLAB), jnp.int32),
-                 pltpu.VMEM((1, r32, _SL), jnp.int32),
+                 pltpu.VMEM((1, r32, S), jnp.int32),
                  pltpu.VMEM((4 * r32, _BL), jnp.int32),
                  pltpu.SemaphoreType.DMA((2, len(heads) + 1)),
                  pltpu.SemaphoreType.DMA((len(heads) + 1,))]
                 if use_slab else
-                [pltpu.VMEM((2, r32, _SL), jnp.int32),
+                [pltpu.VMEM((2, r32, S), jnp.int32),
                  pltpu.VMEM((4 * r32, _BL), jnp.int32),
                  pltpu.SemaphoreType.DMA((2, len(heads) + 1))]),
         ),
