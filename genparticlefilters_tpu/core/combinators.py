@@ -52,6 +52,44 @@ def _inner(store, t, outer_mask=True):
     return {"store": store, "t": t, "outer_mask": outer_mask}
 
 
+def _inner_c(store, t, carry, outer_mask=True):
+    """Like :func:`_inner` plus the ``carry`` cache: the retval tree AFTER
+    the last active step (= ``read_step(store, t-1)["retval"]`` when
+    ``t > 0``; unspecified values at ``t == 0``). Caching it on the trace
+    saves the O(k) extension path a dynamic row-slab read of the packed
+    matrix per step (~12 µs/step at N=100K, more at 1M) — the rows are
+    still stored in ``mat`` (resampling gathers the carry leaves as
+    ordinary per-particle rows alongside it). Every hot-path constructor
+    provides it; carry-less traces (e.g. restored checkpoints) fall back
+    to the row read.
+
+    Gated to SCALAR-per-particle carries (batched ``[b]`` leaves / ``()``
+    under per-particle interpretation): a wide carry (e.g. MOT's
+    ``[N, K, 2]``) would pay a moveaxis transpose in every resampling
+    pack — measured as a few ms at the config-5 N=1M shape — where the
+    row read it replaces is cheap. The gate depends only on the
+    interpretation form and static shapes, so every construction path of
+    a given model makes the same decision (treedef consistency)."""
+    d = _inner(store, t, outer_mask)
+    from .gfi import current_batch
+    b = current_batch()
+    want = () if b is None else (b,)
+    for l in jax.tree_util.tree_leaves(carry):
+        if tuple(jnp.shape(l)) != want:
+            return d
+    d["carry"] = carry
+    return d
+
+
+def _trace_carry(tr: Trace, fallback_idx=None):
+    """The carry cache, or the stored row read when absent."""
+    c = tr.inner.get("carry")
+    if c is not None:
+        return c
+    t = tr.inner["t"] if fallback_idx is None else fallback_idx
+    return read_step(tr.inner["store"], jnp.maximum(t - 1, 0))["retval"]
+
+
 def _outer_mask(tr):
     return tr.inner.get("outer_mask", True)
 
@@ -378,11 +416,11 @@ class Unfold(GenFn):
             new_state = _tree_where(a, tr.get_retval(), state)
             return new_state, (tr, new_state)
 
-        _, (steps, states) = lax.scan(body, state0, ts)
+        fin, (steps, states) = lax.scan(body, state0, ts)
         active = self._active_tb(t_active, True, b)
         score = _reduce_steps(steps.score, active, b)
-        inner = _inner(self._make_store(_slim_steps(steps), states, b),
-                       t_active)
+        inner = _inner_c(self._make_store(_slim_steps(steps), states, b),
+                         t_active, fin)
         return Trace(self, args, None, score, inner)
 
     def _empty_trace(self, key, args, constraints: ChoiceMap = EMPTY):
@@ -435,12 +473,12 @@ class Unfold(GenFn):
             new_state = _tree_where(a, tr.get_retval(), state)
             return new_state, (tr, new_state, w)
 
-        _, (steps, states, ws) = lax.scan(body, state0, (ts, dense))
+        fin, (steps, states, ws) = lax.scan(body, state0, (ts, dense))
         active = self._active_tb(t_active, True, b)
         score = _reduce_steps(steps.score, active, b)
         weight = _reduce_steps(ws, active, b)
-        inner = _inner(self._make_store(_slim_steps(steps), states, b),
-                       t_active)
+        inner = _inner_c(self._make_store(_slim_steps(steps), states, b),
+                         t_active, fin)
         return Trace(self, args, None, score, inner), weight
 
     def assess(self, args, choices: ChoiceMap):
@@ -520,7 +558,7 @@ class Unfold(GenFn):
             state = _tree_where(a_new, new_step.get_retval(), state)
             return state, (new_step, state, logq_t, disc_t)
 
-        _, (steps, states, logqs, disc) = lax.scan(
+        fin, (steps, states, logqs, disc) = lax.scan(
             body, state0, (ts, dense))
         a_new = self._active_tb(t_new, True, b)
         a_old = self._active_tb(t_old, outer_mask, b)
@@ -543,8 +581,8 @@ class Unfold(GenFn):
             shrink_cm_entries[k2] = Entry(
                 e.value, _and_lead(e.mask, shrink, jnp.ndim(e.value)))
         discard = ChoiceMap(disc_entries).merge(ChoiceMap(shrink_cm_entries))
-        inner = _inner(self._make_store(_slim_steps(steps), states, b),
-                       t_new)
+        inner = _inner_c(self._make_store(_slim_steps(steps), states, b),
+                         t_new, fin)
         new_tr = Trace(self, new_args, None, score, inner)
         # adjust logq: caller computes weight = new.score - old.score - logq,
         # where old.score was computed with the *old* masks. Consistent.
@@ -567,10 +605,9 @@ class Unfold(GenFn):
         old_store = tr.inner["store"]
         dense = self._slice_cm(self._densify(constraints))
 
-        # carry state entering step t_old: the retval rows of packed slab
-        # t_old-1 (one O(N) lane-dense dynamic row-slab read)
-        idx_prev = jnp.maximum(t_old - 1, 0)
-        prev_state = read_step(old_store, idx_prev)["retval"]
+        # carry state entering step t_old: the cached carry (no row read);
+        # carry-less traces (restored checkpoints) read the packed slab
+        prev_state = _trace_carry(tr)
         state = _tree_where(t_old > 0, prev_state, state0)
 
         score_add = jnp.asarray(0.0, jnp.float32)
@@ -595,7 +632,7 @@ class Unfold(GenFn):
         # ONE [k*R, N] aligned slab write for choices AND retval carries
         # (was: one tile-RMW row write per leaf per step)
         store = write_steps(old_store, t_old, cols)
-        inner = _inner(store, t_new)
+        inner = _inner_c(store, t_new, state)
         new_tr = Trace(self, new_args, None, tr.score + score_add, inner)
         return new_tr, logq, ChoiceMap({})
 
@@ -656,13 +693,13 @@ class Unfold(GenFn):
 
         xs = ((ts, old_prev) if sel_static
               else (ts, old_prev, dsel))
-        _, (steps, states, sns, sos) = lax.scan(body, state0, xs)
+        fin, (steps, states, sns, sos) = lax.scan(body, state0, xs)
         a_new = self._active_tb(t_new, True, b)
         score = _reduce_steps(steps.score, a_new, b)
         sel_new = _reduce_steps(sns, a_new, b)
         sel_old = _reduce_steps(sos, a_new, b)
-        inner = _inner(self._make_store(_slim_steps(steps), states, b),
-                       t_new)
+        inner = _inner_c(self._make_store(_slim_steps(steps), states, b),
+                         t_new, fin)
         return Trace(self, new_args, None, score, inner), sel_new, sel_old
 
     def regenerate_delta(self, key, tr: Trace, new_args, argdiffs,
@@ -819,7 +856,17 @@ class Unfold(GenFn):
 
         new_store = StepStorage(mat, tuple(extras), lo)
         score = tr.score + jnp.where(accept, delta["score_delta"], 0.0)
-        inner = _inner(new_store, t_old)
+        # carry: the delta's post-window state where accepted (the window
+        # always ends at the last active step on this path), else the old
+        # carry; cols[-1] is inactive only when t_old == 0, where
+        # last_state degenerates to the old carry values anyway
+        from .gfi import _where_lead as _wl
+        take_last = jnp.logical_and(jnp.asarray(accept), cols[-1][1])
+        old_carry = _trace_carry(tr)
+        carry = jax.tree_util.tree_map(
+            lambda nw, od: _wl(take_last, jnp.asarray(nw, jnp.asarray(
+                od).dtype), od), delta["last_state"], old_carry)
+        inner = _inner_c(new_store, t_old, carry)
         return Trace(self, delta["new_args"], None, score, inner)
 
     def _regenerate_window(self, key, tr: Trace, new_args,
@@ -877,8 +924,9 @@ class Unfold(GenFn):
             old_state = _tree_where(active_j, old_col["retval"], old_state)
 
         # rows in [t_old, T-1] stay unspecified; readers use row t-1
-        # dynamic reads (no [-1] tail row to maintain)
-        inner = _inner(store, t_old)
+        # dynamic reads (no [-1] tail row to maintain). The loop's final
+        # ``state`` is the retval after step t_old-1 = the new carry.
+        inner = _inner_c(store, t_old, state)
         new_tr = Trace(self, new_args, None, tr.score + score_delta, inner)
         return new_tr, sel_new, sel_old
 
@@ -974,6 +1022,8 @@ class Unfold(GenFn):
         else:
             new_om = jnp.logical_and(om, m)
         inner = _inner(tr.inner["store"], tr.inner["t"], new_om)
+        if "carry" in tr.inner:
+            inner["carry"] = tr.inner["carry"]
         return Trace(tr.gen_fn, tr.args, tr.retval, tr.score, inner)
 
     def batch_stored_args(self, tr: Trace, batch: int) -> Trace:
@@ -1009,6 +1059,8 @@ class Unfold(GenFn):
                                       else s.pax + axis)
         store_spec = StepStorage(mat_spec, tuple(extras_spec), store.layout)
         spec_inner = {"store": store_spec, "t": None}
+        if "carry" in inner:
+            spec_inner["carry"] = gen_spec(inner["carry"], axis, n)
         if "outer_mask" in inner:
             spec_inner["outer_mask"] = gen_spec(inner["outer_mask"], axis, n)
         if args_shared:
@@ -1056,6 +1108,11 @@ class Unfold(GenFn):
             om = _where_lead(accept, jnp.asarray(om_new, bool),
                              jnp.asarray(om_old, bool))
         inner = _inner(store, new_tr.inner["t"], om)
+        if "carry" in new_tr.inner and "carry" in old_tr.inner:
+            inner["carry"] = jax.tree_util.tree_map(
+                lambda nw, od: _where_lead(accept, jnp.asarray(
+                    nw, jnp.asarray(od).dtype), od),
+                new_tr.inner["carry"], old_tr.inner["carry"])
         return Trace(self, new_tr.args, None,
                      _where_lead(accept, new_tr.score, old_tr.score), inner)
 

@@ -146,7 +146,10 @@ def test_unfold_trace_is_packed():
     rows, meta = _pack_rows(leaves, axes)
     packed = [r for r in rows if r is not None]
     # exactly two pieces: the per-particle score row and the packed mat —
-    # and the mat piece is the stored matrix itself (zero-copy reshape)
+    # and the mat piece is the stored matrix itself (zero-copy reshape).
+    # (MOT's wide [N, K, 2] retval is NOT carry-cached — the scalar-carry
+    # gate in combinators._inner_c keeps wide carries out of the
+    # resampling pack, where they would pay a moveaxis transpose.)
     assert len(packed) == 2, [p_.shape for p_ in packed]
     widths = sorted(p_.shape[0] for p_ in packed)
     store = st.traces.inner["store"]
